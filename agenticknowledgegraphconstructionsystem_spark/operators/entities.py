@@ -1,0 +1,98 @@
+"""Stage 3 — entity table + doc→concept edges.
+
+A7 (database.ts:97-118 ``INSERT … ON CONFLICT(name) DO UPDATE mention_count
+= mention_count + 1``): the row-at-a-time upsert-with-counter becomes a
+grouped aggregation.  ``mention_count = countDistinct(url)`` — the
+set-based semantics (SURVEY §7 "mention_count drift": the reference
+increments per upsert *attempt*, which double-counts re-runs; countDistinct
+matches rule E4's intent, validation-agent.ts:157-176).
+
+Skew (north_rule): hot concept names appear in most documents.  A plain
+``groupBy(name).agg(countDistinct(url))`` would funnel each hot name into
+one reducer.  :func:`build_entities` therefore does an explicit two-phase
+aggregation — salt the key, partial-aggregate per (name, salt), then merge
+the distinct counts.  Distinct counts don't merge across salts unless the
+salt is derived from the *distinct column itself*: salting by
+``hash(url) % k`` makes the per-salt url sets disjoint, so the final
+``sum`` of partial distinct counts is exact.
+
+A8 (database.ts:123-139 DO UPDATE / database_utils.py:165-192 DO NOTHING):
+edge dedup via row_number over an explicit deterministic ordering — never
+partition order (SURVEY §7 determinism note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..semantics import NAME_MAX  # noqa: F401  (re-export convenience)
+
+
+def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """mentions → entities(entity_id, name, concept_type, mention_count,
+    sum_relevance_pct, max_relevance_pct, min_relevance_pct, first_context).
+
+    Two-phase salted aggregation; deterministic entity_id = xxhash64(name)
+    (stable across runs — SURVEY §1.2 bans monotonically_increasing_id).
+    'Keep-first' description semantics (database.ts:109 COALESCE) use an
+    explicit min_by ordering key (earliest url), not arrival order.
+    """
+    salted = mentions.withColumn(
+        "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("name", "concept_type", "salt").agg(
+        F.countDistinct("url").alias("pc"),
+        F.sum("relevance_pct").alias("srel"),
+        F.max("relevance_pct").alias("xrel"),
+        F.min("relevance_pct").alias("nrel"),
+        F.min(F.struct("url", "context")).alias("first_ctx"),
+    )
+    return partial.groupBy("name", "concept_type").agg(
+        F.sum("pc").cast("long").alias("mention_count"),
+        F.sum("srel").cast("long").alias("sum_relevance_pct"),
+        F.max("xrel").alias("max_relevance_pct"),
+        F.min("nrel").alias("min_relevance_pct"),
+        F.min("first_ctx").getField("context").alias("first_context"),
+    ).select(
+        F.xxhash64("name").alias("entity_id"),
+        "name",
+        "concept_type",
+        "mention_count",
+        "sum_relevance_pct",
+        "max_relevance_pct",
+        "min_relevance_pct",
+        "first_context",
+    )
+
+
+def build_doc_concept_edges(mentions: DataFrame) -> DataFrame:
+    """A8 last-write-wins upsert semantics (database.ts:132-135): one edge
+    per (url, name), keeping the highest-relevance mention with explicit
+    tie-breaks (pos, context) for full determinism."""
+    w = Window.partitionBy("url", "name").orderBy(
+        F.desc("relevance_pct"), F.asc("pos"), F.asc("context")
+    )
+    return (
+        mentions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "url",
+            F.xxhash64("name").alias("entity_id"),
+            "name",
+            "concept_type",
+            "relevance_pct",
+            "context",
+        )
+    )
+
+
+def top_concepts(entities: DataFrame, k: int = 10) -> DataFrame:
+    """A4/J5-intended: top-k concepts by mention_count (db_init.py:187-197 —
+    implementing the *intended* join key, see SURVEY §2.3 J5 bug note).
+    Compiles to TakeOrderedAndProject: no global sort."""
+    return (
+        entities.orderBy(F.desc("mention_count"), F.asc("name"))
+        .select("name", "concept_type", "mention_count")
+        .limit(k)
+    )

@@ -1,0 +1,476 @@
+"""Pure-Python reference semantics — the single source of truth.
+
+Every formula, threshold, enum and keyword table the pipeline uses lives
+here, expressed as plain Python with **no Spark imports**, so that:
+
+* the Spark operators (pandas UDFs + Column expressions) import it on the
+  executors,
+* the pytest golden oracle runs the exact same functions single-process,
+* the DuckDB oracle-SQL builders (``oracles.py``) render the same constants
+  into ANSI SQL.
+
+Reference citations (``/root/reference``, read-only):
+  - extractor marker/join/strip semantics .... extract_and_populate.py:36-71
+  - extraction stats ......................... extract_and_populate.py:73-87
+  - entity cleaning / clamping ............... agents/src/agents/entity-extraction-agent.ts:208-240
+  - concept-type enum (7 values) ............. agents/src/types.ts:64-71
+  - relationship-type enum (6 values) ........ agents/src/types.ts:73-79
+  - relevance rubric (1.0 / 0.7-0.9 / 0.5-0.6 / <0.5)
+    ........................................... entity-extraction-agent.ts:112-117
+  - base-confidence buckets + clamp .......... relationship-discovery-agent.ts:43-60
+  - type keyword table ....................... validation-agent.ts:301-308
+  - generic-term list (rule E1) .............. validation-agent.ts:70-74
+  - validation thresholds E2/E3/R2/R5 ........ validation-agent.ts:93-150, 243-284, 360-389
+
+All scores are carried as **integer percent** (``*_pct``) so that Spark,
+DuckDB and Python agree bit-for-bit; divide by 100.0 only at the edge.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Closed enums (types.ts:64-89)
+# ---------------------------------------------------------------------------
+
+CONCEPT_TYPES = (
+    "method",
+    "technique",
+    "dataset",
+    "metric",
+    "concept",
+    "architecture",
+    "algorithm",
+)
+DEFAULT_CONCEPT_TYPE = "concept"  # entity-extraction-agent.ts:239
+
+RELATIONSHIP_TYPES = (
+    "improves_on",
+    "extends",
+    "evaluates",
+    "builds_on",
+    "addresses",
+    "cites",
+)
+
+STAGES = (
+    "extract",
+    "mentions",
+    "triples",
+    "link",
+    "canonicalize",
+    "materialize",
+    "validate",
+)
+
+# validation-agent.ts:70-74 (rule E1)
+GENERIC_TERMS = (
+    "paper", "research", "method", "technique", "approach", "study",
+    "experiment", "result", "conclusion", "abstract", "introduction",
+    "related work", "future work", "dataset", "metric", "evaluation",
+)
+
+# validation-agent.ts:301-308 (rule R3) — order = D4 classification priority
+TYPE_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "improves_on": ("improve", "better", "faster", "enhance", "outperform", "superior"),
+    "extends": ("extend", "add", "generalize", "expand", "augment", "additional"),
+    "evaluates": ("evaluate", "compare", "benchmark", "test", "measure", "assess"),
+    "builds_on": ("build", "based on", "foundation", "leverage", "adopt", "use"),
+    "addresses": ("address", "solve", "fix", "tackle", "handle", "overcome"),
+    "cites": ("cite", "mention", "reference", "related work", "discuss"),
+}
+
+# Field caps (entity-extraction-agent.ts:210-214; db_init.py:56-58)
+NAME_MAX = 255
+CONTEXT_MAX = 150  # context_snippet cap used at detection time (prompt :117)
+CONTEXT_STORE_MAX = 500  # DB-side cap (entity-extraction-agent.ts:214)
+
+# Thresholds
+MIN_RELEVANCE_PCT = 40          # run-relationship-discovery.ts:87 (0.4)
+EXTRACT_TRUNCATE_CHARS = 80000  # entity-extraction-agent.ts:45-46
+
+# D3 — base confidence (relationship-discovery-agent.ts:43-60), integer percent
+CONF_FLOOR_PCT = 30
+CONF_CEIL_PCT = 85
+HI_BUCKET_PCT = 70   # avg_relevance >= 0.7
+MED_BUCKET_PCT = 50  # 0.5 <= avg < 0.7
+LO_BUCKET_PCT = 40   # 0.4 <= avg < 0.5
+HI_WEIGHT_PCT = 15
+MED_WEIGHT_PCT = 8
+LO_WEIGHT_PCT = 4
+KEYWORD_BONUS_PCT = 5   # D4: deterministic stand-in for the LLM's upward adjustment
+CONF_KEYWORD_CEIL_PCT = 95
+
+# Validation thresholds
+FLAG_CONFIDENCE_PCT = 50        # validation-agent.ts:207
+LOW_CONFIDENCE_PCT = 50         # R2 warning (validation-agent.ts:262)
+VERY_LOW_CONFIDENCE_PCT = 30    # R2 warning (validation-agent.ts:274)
+NAME_MIN_LEN = 2                # E2 error (validation-agent.ts:96)
+NAME_WARN_LEN = 100             # E2 warning (validation-agent.ts:107)
+EXPLANATION_MIN_LEN = 20        # R5 (validation-agent.ts:367)
+PLACEHOLDER_EXPLANATION = "not explicitly stated in abstract"  # validation-agent.ts:379
+
+# ---------------------------------------------------------------------------
+# Gazetteer — the closed concept vocabulary (FIXTURES.md §2).
+#
+# Surface forms are chosen from the synthetic corpus vocabulary
+# (/root/testdata documents) plus alias groups that drive entity linking.
+# All names lowercase; detection is case-insensitive substring containment.
+# ---------------------------------------------------------------------------
+
+#: (name, concept_type) — canonical surface forms
+GAZETTEER: tuple[tuple[str, str], ...] = (
+    # hot single-word terms (appear in ~75% of synthetic docs → skew exercise)
+    ("spark", "method"),
+    ("vector", "architecture"),
+    ("stream", "concept"),
+    ("batch", "concept"),
+    # bigrams (sparser, ~6% of docs each)
+    ("table scan", "technique"),
+    ("column scan", "technique"),
+    ("hash join", "algorithm"),
+    ("merge join", "algorithm"),
+    ("sort merge", "algorithm"),
+    ("group agg", "technique"),
+    ("window agg", "technique"),
+    ("hash agg", "technique"),
+    ("key value", "concept"),
+    ("row batch", "concept"),
+    ("data stream", "concept"),
+    ("query plan", "concept"),
+    ("fast scan", "technique"),
+    ("big table", "dataset"),
+    ("small table", "dataset"),
+    ("slow query", "metric"),
+    ("fast query", "metric"),
+    # trigrams (rare)
+    ("sort merge join", "algorithm"),
+    ("big data stream", "concept"),
+    # dirt: generic terms for rule E1 (only in injected fixture docs)
+    ("dataset", "dataset"),
+    ("metric", "metric"),
+)
+
+#: alias → canonical (drives entity linking / canonicalization tests)
+ALIASES: dict[str, str] = {
+    "sparks": "spark",
+    "sprk": "spark",
+    "table-scan": "table scan",
+    "tbl scan": "table scan",
+    "hash-join": "hash join",
+    "hashjoin": "hash join",
+    "sortmerge": "sort merge",
+    "sort-merge join": "sort merge join",
+}
+
+GAZETTEER_TYPES: dict[str, str] = dict(GAZETTEER)
+
+
+# ---------------------------------------------------------------------------
+# S7 — text extraction (extract_and_populate.py:36-71)
+# ---------------------------------------------------------------------------
+
+_SECTION_RE = re.compile(
+    rb"<section[^>]*>(.*?)</section>", re.DOTALL | re.IGNORECASE
+)
+_TAG_RE = re.compile(rb"<[^>]+>")
+
+
+def extract_text_from_html(html: bytes | None) -> str | None:
+    """Reference extractor semantics over HTML pages.
+
+    The reference iterates PDF pages, emits ``"\\n--- Page N ---\\n" + text``
+    per page, joins with ``""`` and applies one outer ``.strip()``
+    (extract_and_populate.py:51-65).  Here a "page" is one ``<section>``
+    element of the crawled HTML; boilerplate outside sections (<nav>,
+    <footer>, …) is dropped.  Returns None when nothing remains — mirroring
+    the reference's ``return extracted if extracted else None``.
+
+    MUST stay a pure function of the input bytes: the per-url
+    byte-identical invariant (BASELINE.json input_hint) is asserted against
+    this exact function.
+    """
+    if html is None:
+        return None
+    parts: list[str] = []
+    for page_num, m in enumerate(_SECTION_RE.finditer(html), 1):
+        inner = _TAG_RE.sub(b" ", m.group(1))
+        text = inner.decode("utf-8", errors="replace")
+        parts.append(f"\n--- Page {page_num} ---\n")
+        parts.append(text)
+    extracted = "".join(parts).strip()
+    return extracted if extracted else None
+
+
+def extraction_stats(text: str | None) -> dict:
+    """S8 (extract_and_populate.py:73-87)."""
+    if not text:
+        return {"char_count": 0, "word_count": 0, "page_markers": 0}
+    return {
+        "char_count": len(text),
+        "word_count": len(text.split()),
+        "page_markers": text.count("--- Page"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# D1 — deterministic mention detection (replaces entity-extraction-agent.ts
+# LLM loop; rubric mirror of :112-117)
+# ---------------------------------------------------------------------------
+
+def occurrence_count(lower_text: str, name: str) -> int:
+    """Non-overlapping occurrence count == (len(t)-len(t.replace(n,'')))/len(n).
+
+    Expressed that way so DuckDB/Spark replicate it with length+replace.
+    """
+    if not name:
+        return 0
+    return (len(lower_text) - len(lower_text.replace(name, ""))) // len(name)
+
+
+def relevance_pct(pos1: int, n_chars: int, occurrences: int) -> int:
+    """Deterministic relevance rubric, integer percent.
+
+    pos1 is the 1-based position of the first occurrence in the lowered
+    text.  Mirrors entity-extraction-agent.ts:112-117: core-of-document
+    (leading mention) ⇒ 1.0; early ⇒ 0.8; middle ⇒ 0.6; late ⇒ 0.45 — plus
+    a +5 pct bonus per extra occurrence, capped at +20, clamped to 100.
+    Pure integer arithmetic so Spark and DuckDB agree exactly.
+    """
+    if pos1 == 1:
+        base = 100
+    elif pos1 * 4 <= n_chars:
+        base = 80
+    elif pos1 * 2 <= n_chars:
+        base = 60
+    else:
+        base = 45
+    bonus = 5 * min(max(occurrences - 1, 0), 4)
+    return min(100, base + bonus)
+
+
+@dataclass(frozen=True)
+class Mention:
+    name: str
+    concept_type: str
+    relevance_pct: int
+    pos: int  # 1-based first occurrence
+    context: str
+
+
+def detect_mentions(text: str | None, gazetteer=GAZETTEER) -> list[Mention]:
+    """Gazetteer mention detector — per-document deterministic twin of the
+    reference's Agent #1 (entity-extraction-agent.ts:30-79).
+
+    Detection: case-insensitive substring containment of the (lowercase)
+    gazetteer name in the first EXTRACT_TRUNCATE_CHARS characters of the
+    text (the reference truncates identically, :45-46).  Output cleaning
+    mirrors cleanEntity (:208-215): trimmed name capped at NAME_MAX,
+    context capped at CONTEXT_MAX.
+    """
+    if not text:
+        return []
+    truncated = text[:EXTRACT_TRUNCATE_CHARS]
+    lower = truncated.lower()
+    n = len(truncated)
+    out: list[Mention] = []
+    for name, ctype in gazetteer:
+        pos0 = lower.find(name)
+        if pos0 < 0:
+            continue
+        occ = occurrence_count(lower, name)
+        rel = relevance_pct(pos0 + 1, n, occ)
+        context = truncated[pos0 : pos0 + CONTEXT_MAX]
+        out.append(Mention(name[:NAME_MAX], ctype, rel, pos0 + 1, context))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# D3 — base confidence (relationship-discovery-agent.ts:43-60)
+# ---------------------------------------------------------------------------
+
+def bucket_counts(avg_rel_pct2_list: list[int]) -> tuple[int, int, int]:
+    """Bucket shared concepts by average relevance.
+
+    ``avg_rel_pct2`` carries r1_pct + r2_pct (i.e. 2× the average, still an
+    integer) so bucket edges stay exact: >=0.7 ⇔ sum>=140, etc.
+    (relationship-discovery-agent.ts:49-51 — note half-open intervals.)
+    """
+    hi = sum(1 for s in avg_rel_pct2_list if s >= 2 * HI_BUCKET_PCT)
+    med = sum(1 for s in avg_rel_pct2_list if 2 * MED_BUCKET_PCT <= s < 2 * HI_BUCKET_PCT)
+    lo = sum(1 for s in avg_rel_pct2_list if 2 * LO_BUCKET_PCT <= s < 2 * MED_BUCKET_PCT)
+    return hi, med, lo
+
+
+def base_confidence_pct(hi: int, med: int, lo: int, n_shared: int) -> int:
+    """score = 0.15·hi + 0.08·med + 0.04·lo clamped to [0.30, 0.85];
+    0.30 when no shared concepts (relationship-discovery-agent.ts:44-59)."""
+    if n_shared == 0:
+        return CONF_FLOOR_PCT
+    score = HI_WEIGHT_PCT * hi + MED_WEIGHT_PCT * med + LO_WEIGHT_PCT * lo
+    return min(CONF_CEIL_PCT, max(CONF_FLOOR_PCT, score))
+
+
+# ---------------------------------------------------------------------------
+# D4 — deterministic relationship classifier (twin of
+# relationship-discovery-agent.ts:65-120's LLM step)
+# ---------------------------------------------------------------------------
+
+def classify_relationship_type(
+    source_lower_text: str, hi: int, med: int, lo: int
+) -> str | None:
+    """Priority-ordered keyword scan over the source text; falls back to a
+    deterministic bucket rule driven by shared-concept strength.
+
+    Keyword table = validation-agent.ts:301-308, so classified edges always
+    satisfy validation rule R3 when the explanation embeds the keyword.
+    """
+    for rtype in RELATIONSHIP_TYPES:
+        for kw in TYPE_KEYWORDS[rtype]:
+            if kw in source_lower_text:
+                return rtype
+    # fallback: strength of overlap decides (mirrors the confidence rubric
+    # tiers in relationship-discovery-agent.ts:219-245)
+    if hi >= 3:
+        return "builds_on"
+    if hi >= 1:
+        return "extends"
+    if med >= 2:
+        return "evaluates"
+    if med >= 1:
+        return "addresses"
+    if lo >= 1:
+        return "cites"
+    return None
+
+
+def keyword_found(source_lower_text: str) -> bool:
+    return any(
+        kw in source_lower_text for t in RELATIONSHIP_TYPES for kw in TYPE_KEYWORDS[t]
+    )
+
+
+def final_confidence_pct(base_pct: int, kw_found: bool) -> int:
+    """LLM confidence refinement stand-in: +5 pct when explicit keyword
+    evidence exists, capped at 95 (clamp [0,1] per
+    relationship-discovery-agent.ts:332)."""
+    if kw_found:
+        return min(CONF_KEYWORD_CEIL_PCT, base_pct + KEYWORD_BONUS_PCT)
+    return base_pct
+
+
+def explanation_for(rtype: str | None, n_shared: int, hi: int, med: int, lo: int) -> str:
+    """Deterministic explanation template.  Embeds the type's first keyword
+    so rule R3 (type_explanation_mismatch) passes, mirroring how the
+    reference prompt instructs explanations to carry evidence verbs."""
+    if rtype is None:
+        return f"no meaningful relationship found across {n_shared} shared concepts"
+    kw = TYPE_KEYWORDS[rtype][0]
+    return (
+        f"source paper {kw}s the seminal work, derived from {n_shared} shared "
+        f"concepts (hi={hi}, med={med}, lo={lo})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/D6 — validation rules E1-E4 / R1-R5 (validation-agent.ts)
+# ---------------------------------------------------------------------------
+
+def entity_findings(
+    name: str, mention_count: int, link_count: int, max_rel_pct: int, min_rel_pct: int
+) -> list[tuple[str, str]]:
+    """Rules E1-E4 → [(rule, severity)].  Set-based restatement:
+    * E3's per-link loop collapses to max/min over the links,
+    * ``suspicious_perfect_score`` fires when a 100-pct link exists and the
+      entity is mentioned in exactly one document (validation-agent.ts:141).
+    """
+    issues: list[tuple[str, str]] = []
+    lower_name = name.lower().strip()
+    if lower_name in GENERIC_TERMS:
+        issues.append(("no_generic_terms", "error"))
+    stripped = name.strip()
+    if len(stripped) < NAME_MIN_LEN:
+        issues.append(("name_too_short", "error"))
+    if len(stripped) > NAME_WARN_LEN:
+        issues.append(("name_too_long", "warning"))
+    if min_rel_pct < 0 or max_rel_pct > 100:
+        issues.append(("invalid_relevance_score", "error"))
+    if max_rel_pct == 100 and mention_count == 1:
+        issues.append(("suspicious_perfect_score", "warning"))
+    if mention_count < link_count:
+        issues.append(("mention_count_mismatch", "warning"))
+    return issues
+
+
+def relationship_findings(
+    source_key, target_key, rtype: str | None, confidence_pct: int, explanation: str
+) -> list[tuple[str, str]]:
+    """Rules R1-R5 → [(rule, severity)] (validation-agent.ts:185-389)."""
+    issues: list[tuple[str, str]] = []
+    if source_key == target_key:
+        issues.append(("self_reference", "error"))
+    if confidence_pct < 0 or confidence_pct > 100:
+        issues.append(("invalid_confidence", "error"))
+    if 0 <= confidence_pct < LOW_CONFIDENCE_PCT:
+        issues.append(("low_confidence", "warning"))
+    if 0 <= confidence_pct < VERY_LOW_CONFIDENCE_PCT:
+        issues.append(("very_low_confidence", "warning"))
+    expl_lower = explanation.lower()
+    if rtype is not None:
+        if not any(kw in expl_lower for kw in TYPE_KEYWORDS[rtype]):
+            issues.append(("type_explanation_mismatch", "warning"))
+    else:
+        if confidence_pct > 50:
+            issues.append(("null_type_high_confidence", "warning"))
+        else:
+            issues.append(("null_type_low_confidence", "info"))
+    stripped = explanation.strip()
+    if len(stripped) < EXPLANATION_MIN_LEN:
+        issues.append(("explanation_too_short", "warning"))
+    if not stripped or stripped.lower() == PLACEHOLDER_EXPLANATION:
+        issues.append(("explanation_missing", "warning"))
+    return issues
+
+
+def should_flag_for_review(confidence_pct: int, issues: list[tuple[str, str]]) -> bool:
+    """validation-agent.ts:206-208."""
+    return confidence_pct < FLAG_CONFIDENCE_PCT or any(
+        sev == "warning" for _, sev in issues
+    )
+
+
+def is_valid(issues: list[tuple[str, str]]) -> bool:
+    """validation-agent.ts:56/:205 — valid iff no error-severity issue."""
+    return not any(sev == "error" for _, sev in issues)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic keys (SURVEY §1.2: never monotonically_increasing_id)
+# ---------------------------------------------------------------------------
+
+def stable_id(*parts: str) -> int:
+    """Deterministic 63-bit id from md5 (md5 exists in Spark AND DuckDB, so
+    oracle SQL can reproduce ids when needed)."""
+    h = hashlib.md5("\x1f".join(parts).encode("utf-8")).hexdigest()
+    return int(h[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# Shingles (entity linking + near-dup dedup)
+# ---------------------------------------------------------------------------
+
+def char_ngrams(s: str, n: int = 3) -> list[str]:
+    s = " " + s.lower().strip() + " "
+    if len(s) < n:
+        return [s]
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def word_ngrams(s: str, n: int = 5) -> list[str]:
+    w = s.lower().split()
+    if len(w) < n:
+        return [" ".join(w)] if w else []
+    return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Design notes for the 100 TB target (tested on local[N]):
+* AQE on — runtime coalescing + skew-join splitting cover the shuffle-heavy
+  stages (entity aggregation, shared-concept self-join).
+* Arrow on — every per-row stage is a pandas UDF / mapInArrow; Arrow batch
+  size capped so a batch of 80k-char documents stays well under executor
+  memory.
+* shuffle.partitions defaults to 2× cores locally; on a real cluster set it
+  to ~2-3× total executor cores (or rely on AQE coalescing from a high
+  initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kg-construct",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    ncores = os.cpu_count() if cores in ("*", None) else int(cores)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * int(ncores))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
