@@ -1,0 +1,158 @@
+"""Driver-gate queries: Spark DataFrames keyed on ``doc_id`` over the
+driver's testdata tables, each with an exact DuckDB oracle in
+:mod:`oracles`.
+
+The KG pipeline's canonical key is ``url`` (pages schema); the gate runs
+the same operators with ``doc_id`` as the key (FIXTURES.md §4) so results
+are comparable against DuckDB SQL over ``documents.parquet``.  Integer
+outputs are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import semantics as S
+from .operators.entities import build_doc_concept_edges, build_entities, top_concepts
+from .operators.mentions import clean_mentions, detect_mentions_native
+from .operators.relationships import discover_relationships
+from .operators.triples import build_triples
+from .operators.validation import (
+    entity_findings,
+    relationship_findings,
+    validation_summary,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet with the pipeline's expected column names; the
+    bigint doc_id plays the url role (deterministic, reversible)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("url"), F.col("text").alias("extracted_text")
+    )
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_mentions(detect_mentions_native(_docs(spark, sf_dir)))
+
+
+_BIG = "bigint"
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    return m.select(
+        F.col("url").cast(_BIG).alias("doc_id"),
+        "name",
+        "concept_type",
+        F.col("relevance_pct").cast(_BIG).alias("relevance_pct"),
+        F.col("pos").cast(_BIG).alias("pos"),
+        "context",
+    )
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_entities(_mentions(spark, sf_dir))
+    return e.select(
+        "name",
+        "concept_type",
+        F.col("mention_count").cast(_BIG).alias("mention_count"),
+        F.col("sum_relevance_pct").cast(_BIG).alias("sum_relevance_pct"),
+        F.col("max_relevance_pct").cast(_BIG).alias("max_relevance_pct"),
+        F.col("min_relevance_pct").cast(_BIG).alias("min_relevance_pct"),
+    )
+
+
+def q_top_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = top_concepts(build_entities(_mentions(spark, sf_dir)), k=10)
+    return t.select(
+        "name", "concept_type", F.col("mention_count").cast(_BIG).alias("mention_count")
+    )
+
+
+def _rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return discover_relationships(docs, _mentions(spark, sf_dir))
+
+
+def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _rels(spark, sf_dir)
+    return r.select(
+        F.col("source_url").cast(_BIG).alias("source_doc_id"),
+        F.col("target_url").cast(_BIG).alias("target_doc_id"),
+        "rel_type",
+        F.col("confidence_pct").cast(_BIG).alias("confidence_pct"),
+        F.col("n_shared").cast(_BIG).alias("n_shared"),
+        F.col("hi").cast(_BIG).alias("hi"),
+        F.col("med").cast(_BIG).alias("med"),
+        F.col("lo").cast(_BIG).alias("lo"),
+        "explanation",
+    )
+
+
+def q_entity_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    return entity_findings(build_entities(m), build_doc_concept_edges(m))
+
+
+def q_relationship_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relationship_findings(_rels(spark, sf_dir))
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    ents = build_entities(m)
+    rels = _rels(spark, sf_dir)
+    ef = entity_findings(ents, build_doc_concept_edges(m))
+    rf = relationship_findings(rels)
+    return validation_summary(ef, rf, ents.count(), rels.count())
+
+
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _mentions(spark, sf_dir)
+    edges = build_doc_concept_edges(m)
+    rels = _rels(spark, sf_dir).where(F.col("rel_type").isNotNull()).withColumn(
+        "validated", F.lit(False)
+    )
+    t = build_triples(edges, rels)
+    return t.select(
+        F.col("subj").cast("string").alias("subj"),
+        "pred",
+        F.col("obj").cast("string").alias("obj"),
+        F.col("score_pct").cast(_BIG).alias("score_pct"),
+    )
+
+
+def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (extract_and_populate.py:73-87) over documents.text."""
+    from .operators.extract import word_count_col
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.length("text"), F.lit(0)).cast(_BIG).alias("char_count"),
+        word_count_col(F.col("text")).cast(_BIG).alias("word_count"),
+    )
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 resume semantics (database.ts:66-81): docs with NO success log.
+    The lineage set is simulated deterministically (doc_id % 3 == 0)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    done = d.where(F.col("doc_id") % 3 == 0)
+    return d.join(done, "doc_id", "left_anti").select("doc_id")
+
+
+KG_QUERIES = {
+    "kg_mentions": q_mentions,
+    "kg_entities": q_entities,
+    "kg_top_concepts": q_top_concepts,
+    "kg_relationships": q_relationships,
+    "kg_entity_findings": q_entity_findings,
+    "kg_relationship_findings": q_relationship_findings,
+    "kg_validation_summary": q_validation_summary,
+    "kg_triples": q_triples,
+    "kg_extract_stats": q_extract_stats,
+    "kg_resume_anti_join": q_resume_anti_join,
+}

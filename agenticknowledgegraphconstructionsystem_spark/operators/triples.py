@@ -16,16 +16,16 @@ from pyspark.sql import functions as F
 def build_triples(doc_concept_edges: DataFrame, rel_edges: DataFrame) -> DataFrame:
     """→ triples(subj, pred, obj, score_pct, evidence)."""
     mention_triples = doc_concept_edges.select(
-        F.col("url").alias("subj"),
+        F.col("url").cast("string").alias("subj"),
         F.lit("mentions").alias("pred"),
-        F.col("name").alias("obj"),
+        F.col("name").cast("string").alias("obj"),
         F.col("relevance_pct").alias("score_pct"),
         F.col("context").alias("evidence"),
     )
     rel_triples = rel_edges.select(
-        F.col("source_url").alias("subj"),
+        F.col("source_url").cast("string").alias("subj"),
         F.col("rel_type").alias("pred"),
-        F.col("target_url").alias("obj"),
+        F.col("target_url").cast("string").alias("obj"),
         F.col("confidence_pct").alias("score_pct"),
         F.col("explanation").alias("evidence"),
     )

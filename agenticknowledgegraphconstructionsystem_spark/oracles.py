@@ -1,0 +1,296 @@
+"""DuckDB oracle-SQL builders for the driver's correctness gate.
+
+Each function returns ANSI SQL (DuckDB dialect) that reproduces — bit for
+bit — the output of the matching Spark query in ``__spark_entry__.py`` over
+the same parquet tables.  The SQL is *generated* from the same constants in
+:mod:`semantics` that the Spark operators use, so the two sides cannot
+drift.
+
+Exactness rules (why the gate can hash-match):
+* every score is integer percent — no float ever enters a comparison,
+* counts/sums are CAST to BIGINT on both sides (DuckDB SUM(int) returns
+  HUGEINT otherwise),
+* string building uses the same concat templates,
+* all detection is substring containment + strpos, identical semantics in
+  Spark (`position`/`contains`) and DuckDB (`strpos`/`contains`).
+"""
+
+from __future__ import annotations
+
+from . import semantics as S
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments over the driver's `documents` view
+# ---------------------------------------------------------------------------
+
+
+def _gaz_values() -> str:
+    return ", ".join(f"('{n}', '{t}')" for n, t in S.GAZETTEER)
+
+
+def mentions_cte() -> str:
+    """CTEs: gaz, docs_t, mentions — the D1 detector over documents.text."""
+    return f"""
+gaz(name, concept_type) AS (VALUES {_gaz_values()}),
+docs_t AS (
+  SELECT doc_id,
+         substr(text, 1, {S.EXTRACT_TRUNCATE_CHARS}) AS t,
+         lower(substr(text, 1, {S.EXTRACT_TRUNCATE_CHARS})) AS lt,
+         length(substr(text, 1, {S.EXTRACT_TRUNCATE_CHARS})) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+mentions AS (
+  SELECT doc_id, name, concept_type,
+         CAST(LEAST(100,
+           CASE WHEN pos = 1 THEN 100
+                WHEN pos * 4 <= n THEN 80
+                WHEN pos * 2 <= n THEN 60
+                ELSE 45 END
+           + 5 * LEAST(GREATEST(occ - 1, 0), 4)) AS BIGINT) AS relevance_pct,
+         CAST(pos AS BIGINT) AS pos,
+         substr(t, pos, {S.CONTEXT_MAX}) AS context
+  FROM (
+    SELECT d.doc_id, g.name, g.concept_type, d.t, d.n,
+           strpos(d.lt, g.name) AS pos,
+           CAST((length(d.lt) - length(replace(d.lt, g.name, ''))) / length(g.name) AS INT) AS occ
+    FROM docs_t d CROSS JOIN gaz g
+  )
+  WHERE pos > 0
+)"""
+
+
+def entities_cte() -> str:
+    return """
+entities AS (
+  SELECT name, concept_type,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS mention_count,
+         CAST(SUM(relevance_pct) AS BIGINT) AS sum_relevance_pct,
+         CAST(MAX(relevance_pct) AS BIGINT) AS max_relevance_pct,
+         CAST(MIN(relevance_pct) AS BIGINT) AS min_relevance_pct
+  FROM mentions GROUP BY name, concept_type
+)"""
+
+
+def _contains_any(col: str, keywords: tuple[str, ...]) -> str:
+    return "(" + " OR ".join(f"contains({col}, '{kw}')" for kw in keywords) + ")"
+
+
+def relationships_cte() -> str:
+    """CTEs: seminal, shared, buckets, rels — J3 hub-spoke + D3 + D4."""
+    kw_case = " ".join(
+        f"WHEN {_contains_any('lt', S.TYPE_KEYWORDS[t])} THEN '{t}'"
+        for t in S.RELATIONSHIP_TYPES
+    )
+    fallback = f"""CASE WHEN hi >= 3 THEN 'builds_on'
+                      WHEN hi >= 1 THEN 'extends'
+                      WHEN med >= 2 THEN 'evaluates'
+                      WHEN med >= 1 THEN 'addresses'
+                      WHEN lo >= 1 THEN 'cites'
+                      ELSE NULL END"""
+    kw_found = _contains_any(
+        "lt", tuple(kw for t in S.RELATIONSHIP_TYPES for kw in S.TYPE_KEYWORDS[t])
+    )
+    first_kw_case = " ".join(
+        f"WHEN rel_type = '{t}' THEN '{S.TYPE_KEYWORDS[t][0]}'"
+        for t in S.RELATIONSHIP_TYPES
+    )
+    return f"""
+seminal AS (SELECT MIN(doc_id) AS s FROM mentions),
+mf AS (SELECT doc_id, name, relevance_pct FROM mentions WHERE relevance_pct >= {S.MIN_RELEVANCE_PCT}),
+sem_m AS (SELECT name, relevance_pct AS sem_rel FROM mf, seminal WHERE doc_id = s),
+shared AS (
+  SELECT mf.doc_id, mf.name, mf.relevance_pct + sem_m.sem_rel AS avg2
+  FROM mf JOIN sem_m USING (name), seminal WHERE mf.doc_id <> s
+),
+buckets AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(CASE WHEN avg2 >= {2 * S.HI_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN avg2 >= {2 * S.MED_BUCKET_PCT} AND avg2 < {2 * S.HI_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS med,
+         CAST(SUM(CASE WHEN avg2 >= {2 * S.LO_BUCKET_PCT} AND avg2 < {2 * S.MED_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS lo
+  FROM shared GROUP BY doc_id
+),
+cand AS (SELECT DISTINCT doc_id FROM mentions, seminal WHERE doc_id <> s),
+stats AS (
+  SELECT c.doc_id,
+         COALESCE(b.n_shared, 0) AS n_shared,
+         COALESCE(b.hi, 0) AS hi, COALESCE(b.med, 0) AS med, COALESCE(b.lo, 0) AS lo
+  FROM cand c LEFT JOIN buckets b USING (doc_id)
+),
+classified AS (
+  SELECT st.*, sem.s AS target_doc_id,
+         CASE {kw_case} ELSE {fallback} END AS rel_type,
+         {kw_found} AS kw_found,
+         CASE WHEN n_shared = 0 THEN {S.CONF_FLOOR_PCT}
+              ELSE LEAST({S.CONF_CEIL_PCT}, GREATEST({S.CONF_FLOOR_PCT},
+                   {S.HI_WEIGHT_PCT}*hi + {S.MED_WEIGHT_PCT}*med + {S.LO_WEIGHT_PCT}*lo)) END AS base_pct
+  FROM stats st
+  JOIN (SELECT doc_id, lower(coalesce(text, '')) AS lt FROM documents) d USING (doc_id),
+  seminal sem
+),
+rels AS (
+  SELECT doc_id AS source_doc_id, target_doc_id, rel_type,
+         CAST(CASE WHEN kw_found THEN LEAST({S.CONF_KEYWORD_CEIL_PCT}, base_pct + {S.KEYWORD_BONUS_PCT})
+                   ELSE base_pct END AS BIGINT) AS confidence_pct,
+         CAST(n_shared AS BIGINT) AS n_shared,
+         CAST(hi AS BIGINT) AS hi, CAST(med AS BIGINT) AS med, CAST(lo AS BIGINT) AS lo,
+         CASE WHEN rel_type IS NULL THEN
+           'no meaningful relationship found across ' || CAST(n_shared AS VARCHAR) || ' shared concepts'
+         ELSE
+           'source paper ' || (CASE {first_kw_case} END) || 's the seminal work, derived from '
+           || CAST(n_shared AS VARCHAR) || ' shared concepts (hi=' || CAST(hi AS VARCHAR)
+           || ', med=' || CAST(med AS VARCHAR) || ', lo=' || CAST(lo AS VARCHAR) || ')'
+         END AS explanation
+  FROM classified
+)"""
+
+
+def _generic_list() -> str:
+    return ", ".join(f"'{g}'" for g in S.GENERIC_TERMS)
+
+
+def entity_findings_cte() -> str:
+    """Rules E1-E4 over entities (+ link counts from mentions-dedup edges).
+    Gate shape: one row per (item_key, rule, severity)."""
+    return f"""
+links AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS link_count
+          FROM (SELECT DISTINCT doc_id, name FROM mentions) GROUP BY name),
+ent_base AS (
+  SELECT e.*, COALESCE(l.link_count, 0) AS link_count FROM entities e LEFT JOIN links l USING (name)
+),
+entity_findings AS (
+  SELECT 'entity' AS item_kind, name AS item_key, 'no_generic_terms' AS rule, 'error' AS severity
+    FROM ent_base WHERE lower(trim(name)) IN ({_generic_list()})
+  UNION ALL
+  SELECT 'entity', name, 'name_too_short', 'error' FROM ent_base WHERE length(trim(name)) < {S.NAME_MIN_LEN}
+  UNION ALL
+  SELECT 'entity', name, 'name_too_long', 'warning' FROM ent_base WHERE length(trim(name)) > {S.NAME_WARN_LEN}
+  UNION ALL
+  SELECT 'entity', name, 'invalid_relevance_score', 'error' FROM ent_base
+    WHERE min_relevance_pct < 0 OR max_relevance_pct > 100
+  UNION ALL
+  SELECT 'entity', name, 'suspicious_perfect_score', 'warning' FROM ent_base
+    WHERE max_relevance_pct = 100 AND mention_count = 1
+  UNION ALL
+  SELECT 'entity', name, 'mention_count_mismatch', 'warning' FROM ent_base
+    WHERE mention_count < link_count
+)"""
+
+
+def relationship_findings_cte() -> str:
+    """Rules R1-R5 over rels."""
+    mismatch_cases = " ".join(
+        f"WHEN rel_type = '{t}' THEN NOT {_contains_any('lower(explanation)', S.TYPE_KEYWORDS[t])}"
+        for t in S.RELATIONSHIP_TYPES
+    )
+    key = "CAST(source_doc_id AS VARCHAR) || '->' || CAST(target_doc_id AS VARCHAR) || '->' || COALESCE(rel_type, 'null')"
+    return f"""
+rel_base AS (SELECT *, {key} AS item_key FROM rels),
+relationship_findings AS (
+  SELECT 'relationship' AS item_kind, item_key, 'self_reference' AS rule, 'error' AS severity
+    FROM rel_base WHERE source_doc_id = target_doc_id
+  UNION ALL
+  SELECT 'relationship', item_key, 'invalid_confidence', 'error' FROM rel_base
+    WHERE confidence_pct < 0 OR confidence_pct > 100
+  UNION ALL
+  SELECT 'relationship', item_key, 'low_confidence', 'warning' FROM rel_base
+    WHERE confidence_pct >= 0 AND confidence_pct < {S.LOW_CONFIDENCE_PCT}
+  UNION ALL
+  SELECT 'relationship', item_key, 'very_low_confidence', 'warning' FROM rel_base
+    WHERE confidence_pct >= 0 AND confidence_pct < {S.VERY_LOW_CONFIDENCE_PCT}
+  UNION ALL
+  SELECT 'relationship', item_key, 'type_explanation_mismatch', 'warning' FROM rel_base
+    WHERE rel_type IS NOT NULL AND (CASE {mismatch_cases} ELSE TRUE END)
+  UNION ALL
+  SELECT 'relationship', item_key, 'null_type_high_confidence', 'warning' FROM rel_base
+    WHERE rel_type IS NULL AND confidence_pct > 50
+  UNION ALL
+  SELECT 'relationship', item_key, 'null_type_low_confidence', 'info' FROM rel_base
+    WHERE rel_type IS NULL AND confidence_pct <= 50
+  UNION ALL
+  SELECT 'relationship', item_key, 'explanation_too_short', 'warning' FROM rel_base
+    WHERE length(trim(explanation)) < {S.EXPLANATION_MIN_LEN}
+  UNION ALL
+  SELECT 'relationship', item_key, 'explanation_missing', 'warning' FROM rel_base
+    WHERE trim(explanation) = '' OR lower(trim(explanation)) = '{S.PLACEHOLDER_EXPLANATION}'
+)"""
+
+
+def with_kg(*extra_ctes: str) -> str:
+    return "WITH " + ",".join([mentions_cte(), *extra_ctes])
+
+
+def _summary_sql() -> str:
+    return f"""
+all_f AS (SELECT * FROM entity_findings UNION ALL SELECT * FROM relationship_findings),
+counts AS (
+  SELECT item_kind,
+         CAST(COUNT(DISTINCT CASE WHEN severity = 'error' THEN item_key END) AS BIGINT) AS invalid_items,
+         CAST(SUM(CASE WHEN severity = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+         CAST(SUM(CASE WHEN severity = 'warning' THEN 1 ELSE 0 END) AS BIGINT) AS warnings
+  FROM all_f GROUP BY item_kind
+),
+totals AS (
+  SELECT 'entity' AS item_kind, CAST(COUNT(*) AS BIGINT) AS total FROM entities
+  UNION ALL
+  SELECT 'relationship', CAST(COUNT(*) AS BIGINT) FROM rels
+)
+SELECT t.item_kind, t.total,
+       t.total - COALESCE(c.invalid_items, 0) AS valid,
+       COALESCE(c.invalid_items, 0) AS invalid,
+       COALESCE(c.errors, 0) AS errors,
+       COALESCE(c.warnings, 0) AS warnings
+FROM totals t LEFT JOIN counts c USING (item_kind)"""
+
+
+#: oracle SQL per gate-query key (DuckDB dialect; driver pre-registers the
+#: parquet tables as views)
+KG_ORACLES: dict[str, str] = {
+    "kg_mentions": with_kg()
+    + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, name, concept_type, relevance_pct, pos, context
+FROM mentions""",
+    "kg_entities": with_kg(entities_cte())
+    + """
+SELECT name, concept_type, mention_count, sum_relevance_pct, max_relevance_pct, min_relevance_pct
+FROM entities""",
+    "kg_top_concepts": with_kg(entities_cte())
+    + """
+SELECT name, concept_type, mention_count FROM entities
+ORDER BY mention_count DESC, name ASC LIMIT 10""",
+    "kg_relationships": with_kg(relationships_cte())
+    + """
+SELECT CAST(source_doc_id AS BIGINT) AS source_doc_id,
+       CAST(target_doc_id AS BIGINT) AS target_doc_id,
+       rel_type, confidence_pct, n_shared, hi, med, lo, explanation
+FROM rels""",
+    "kg_entity_findings": with_kg(entities_cte(), entity_findings_cte())
+    + """
+SELECT item_kind, item_key, rule, severity FROM entity_findings""",
+    "kg_relationship_findings": with_kg(relationships_cte(), relationship_findings_cte())
+    + """
+SELECT item_kind, item_key, rule, severity FROM relationship_findings""",
+    "kg_validation_summary": with_kg(
+        entities_cte(),
+        relationships_cte(),
+        entity_findings_cte(),
+        relationship_findings_cte(),
+        _summary_sql().split("\nSELECT", 1)[0].lstrip("\n"),
+    )
+    + "\nSELECT"
+    + _summary_sql().split("\nSELECT", 1)[1],
+    "kg_triples": with_kg(relationships_cte())
+    + """
+SELECT CAST(doc_id AS VARCHAR) AS subj, 'mentions' AS pred, name AS obj,
+       relevance_pct AS score_pct
+FROM mentions
+UNION ALL
+SELECT CAST(source_doc_id AS VARCHAR), rel_type, CAST(target_doc_id AS VARCHAR), confidence_pct
+FROM rels WHERE rel_type IS NOT NULL""",
+    "kg_extract_stats": """
+SELECT doc_id,
+       CAST(COALESCE(length(text), 0) AS BIGINT) AS char_count,
+       CAST(COALESCE(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 0) AS BIGINT) AS word_count
+FROM documents""",
+    "kg_resume_anti_join": "SELECT doc_id FROM documents WHERE doc_id % 3 <> 0",
+}
