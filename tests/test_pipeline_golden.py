@@ -1,0 +1,126 @@
+"""Golden end-to-end tests vs the pure-Python oracle (SURVEY §5):
+triple P/R >= 0.95, findings equality, determinism, A7/A8 semantics, skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agenticknowledgegraphconstructionsystem_spark import reference_oracle
+from agenticknowledgegraphconstructionsystem_spark.operators.entities import (
+    build_doc_concept_edges,
+    build_entities,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators.extract import extract_docs
+from agenticknowledgegraphconstructionsystem_spark.operators.mentions import (
+    clean_mentions,
+    detect_mentions_native,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators.relationships import (
+    discover_relationships,
+    upsert_relationship_edges,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators.triples import build_triples
+from agenticknowledgegraphconstructionsystem_spark.operators.validation import (
+    entity_findings,
+    relationship_findings,
+)
+from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+    synthetic_pages,
+    synthetic_pages_rows,
+)
+
+N_DOCS = 200
+
+
+def _spark_triples(spark, n_docs):
+    docs = extract_docs(synthetic_pages(spark, n_docs))
+    m = clean_mentions(detect_mentions_native(docs))
+    edges = build_doc_concept_edges(m)
+    rel_edges, _ = upsert_relationship_edges(discover_relationships(docs, m))
+    t = build_triples(edges, rel_edges)
+    return docs, m, {(r["subj"], r["pred"], r["obj"]) for r in t.collect()}
+
+
+def test_triple_precision_recall(spark):
+    _, _, got = _spark_triples(spark, N_DOCS)
+    exp = reference_oracle.run(synthetic_pages_rows(N_DOCS)).triples
+    tp = len(got & exp)
+    precision = tp / len(got)
+    recall = tp / len(exp)
+    assert precision >= 0.95, (precision, sorted(got - exp)[:5])
+    assert recall >= 0.95, (recall, sorted(exp - got)[:5])
+    # deterministic twin should in fact be exact
+    assert got == exp
+
+
+def test_findings_equal_oracle(spark):
+    docs = extract_docs(synthetic_pages(spark, N_DOCS))
+    m = clean_mentions(detect_mentions_native(docs))
+    ents = build_entities(m)
+    rels = discover_relationships(docs, m)
+    ef = entity_findings(ents, build_doc_concept_edges(m))
+    rf = relationship_findings(rels)
+    got = {
+        (r["item_kind"], r["item_key"], r["rule"], r["severity"])
+        for r in ef.unionByName(rf).collect()
+    }
+    exp = reference_oracle.run(synthetic_pages_rows(N_DOCS)).findings
+    assert got == exp
+    # dirt docs must actually exercise rule E1
+    assert any(rule == "no_generic_terms" for _, _, rule, _ in exp)
+
+
+def test_determinism_two_runs(spark):
+    _, _, t1 = _spark_triples(spark, 100)
+    _, _, t2 = _spark_triples(spark, 100)
+    assert t1 == t2
+
+
+def test_mention_count_is_count_distinct_url(spark):
+    # A7: re-extraction must NOT inflate counts (SURVEY §7 divergence note)
+    m = spark.createDataFrame(
+        [
+            Row(url="a", name="x", concept_type="method", relevance_pct=50, pos=1, context="c"),
+            Row(url="a", name="x", concept_type="method", relevance_pct=60, pos=2, context="d"),
+            Row(url="b", name="x", concept_type="method", relevance_pct=70, pos=1, context="e"),
+        ]
+    )
+    e = {r["name"]: r for r in build_entities(m).collect()}
+    assert e["x"]["mention_count"] == 2
+
+
+def test_edge_dedup_keeps_highest_relevance(spark):
+    m = spark.createDataFrame(
+        [
+            Row(url="a", name="x", concept_type="method", relevance_pct=50, pos=9, context="lo"),
+            Row(url="a", name="x", concept_type="method", relevance_pct=80, pos=2, context="hi"),
+        ]
+    )
+    rows = build_doc_concept_edges(m).collect()
+    assert len(rows) == 1 and rows[0]["relevance_pct"] == 80 and rows[0]["context"] == "hi"
+
+
+def test_two_phase_agg_equals_naive_under_skew(spark):
+    # one hot name in 50% of docs (FIXTURES.md skew knob)
+    rows = [
+        Row(url=f"u{i}", name=("hot" if i % 2 == 0 else f"cold{i}"),
+            concept_type="method", relevance_pct=50 + (i % 40), pos=1, context="c")
+        for i in range(400)
+    ]
+    m = spark.createDataFrame(rows)
+    salted = {
+        (r["name"], r["mention_count"], r["sum_relevance_pct"])
+        for r in build_entities(m, salt_buckets=16).collect()
+    }
+    naive = {
+        (r["name"], r["mention_count"], r["sum_relevance_pct"])
+        for r in m.groupBy("name")
+        .agg(
+            F.countDistinct("url").alias("mention_count"),
+            F.sum("relevance_pct").cast("long").alias("sum_relevance_pct"),
+        )
+        .collect()
+    }
+    assert salted == naive
