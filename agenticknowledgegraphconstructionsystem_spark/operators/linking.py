@@ -1,0 +1,205 @@
+"""Stage 5 — entity linking + canonicalization (D10/D11).
+
+The reference only dedups on exact name (``UNIQUE(name)``, db_init.py:56)
+and wish-lists real linking ("Merge 'NeRF' and 'Neural Radiance Fields'",
+README.md:1442-1444).  The north_rule requires it, so this module builds it
+Spark-first:
+
+1. **MinHash-LSH blocking** over char-3-gram shingles of entity names —
+   hand-rolled with built-in functions only (``xxhash64`` per seed →
+   ``min`` per name → block on each minhash band).  Every step is a
+   map-side-combinable aggregation; no Python in the hot path, no
+   cartesian pair space.  Banding is r=1, b=K (one band per minhash): at
+   Jaccard 0.5 and K=16 the miss probability is (1-0.5)^16 ≈ 1.5e-5, and
+   false candidates are removed by the exact-Jaccard verify step.
+2. **Exact Jaccard verify** on the candidate pairs via a shingle
+   intersection count — candidates only, never all pairs.
+3. **Connected components** by iterative min-label propagation (the
+   GraphFrames-style algorithm, hand-rolled as join + min-agg per
+   round with localCheckpoint to cut lineage).  The min() aggregation is
+   combiner-friendly, so hot (high-degree) vertices partial-aggregate
+   map-side — the built-in analog of the explicit salt used in the entity
+   aggregation stage.
+4. **Canonical name** per component = member with the highest
+   mention_count, tie-broken lexicographically (deterministic; never
+   partition order).
+
+At 10^12 docs the entity-name universe is orders of magnitude smaller than
+the doc corpus (vocabulary-sized), so these stages run on the *entities*
+table, not the mentions fact table; re-pointing mentions is one broadcast
+join against the name→canonical mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def name_shingles(entities: DataFrame, n: int = 3) -> DataFrame:
+    """→ (name, shingle) distinct, plus set size. Shingles are char n-grams
+    of ' ' + lower(name) + ' ' (semantics.char_ngrams), built natively:
+    sequence → transform → explode stays in codegen."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(concat(' ', lower(trim(name)), ' ')) - {n - 1}, 1)), "
+        f"i -> substring(concat(' ', lower(trim(name)), ' '), i, {n}))"
+    )
+    return (
+        entities.select("name", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """→ (name, band_id, band_hash): one row per (name, hash seed), where
+    band_hash = min over shingles of xxhash64(shingle, seed)."""
+    mins = shingles.groupBy("name").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    bands = F.array(*[F.col(f"h{s}") for s in range(num_hashes)])
+    return mins.select(
+        "name", F.posexplode(bands).alias("band_id", "band_hash")
+    )
+
+
+def candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """LSH blocking: names sharing any (band_id, band_hash) bucket."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+
+
+def similarity_edges(
+    entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
+) -> DataFrame:
+    """→ (name_a, name_b, jaccard) for candidate pairs with exact char-3gram
+    Jaccard >= threshold."""
+    sh = name_shingles(entities)
+    sizes = sh.groupBy("name").agg(F.count("*").alias("sz"))
+    cand = candidate_pairs(minhash_signatures(sh, num_hashes))
+    sh_b = sh.select(
+        F.col("name").alias("nb"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cand.join(sh.withColumnRenamed("name", "name_a"), "name_a")
+        .join(
+            sh_b,
+            (F.col("name_b") == F.col("nb"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("name_a", "name_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"name": "name_a", "sz": "sz_a"}), "name_a")
+        .join(sizes.withColumnsRenamed({"name": "name_b", "sz": "sz_b"}), "name_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("name_a", "name_b", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """→ (name, component) via iterative min-label propagation.
+
+    component = min xxhash64 over the component's names; converges in
+    O(diameter) rounds; localCheckpoint every round cuts the lineage chain
+    (SURVEY §4: driver-side loop over DataFrame ops, checkpointed).
+    """
+    sym = edges.select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("name_b").alias("src"), F.col("name_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("name"))
+        .distinct()
+        .withColumn("component", F.xxhash64("name"))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.name)
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.name == neighbor_min.dst, "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "name")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(entities: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """→ (name, canonical_name, component).  Canonical member = highest
+    mention_count, tie-break lexicographically smallest name.  Singleton
+    entities map to themselves."""
+    edges = similarity_edges(entities, threshold)
+    comp = connected_components(edges)
+    members = entities.join(comp, "name", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.xxhash64("name"))
+    )
+    best = members.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("mention_count").alias("mc"),
+                # invert name ordering so max() picks the lexicographically
+                # smallest name among ties — deterministic
+                F.col("name").alias("nm"),
+            )
+        ).alias("b")
+    )
+    # max(struct) picks highest mention_count then highest name; flip to
+    # smallest name via a two-step: min name among max-count members
+    top_count = members.join(best, "component").where(
+        F.col("mention_count") == F.col("b.mc")
+    )
+    canon = top_count.groupBy("component").agg(
+        F.min("name").alias("canonical_name")
+    )
+    return members.join(canon, "component").select(
+        "name", "canonical_name", "component"
+    )
+
+
+def repoint_mentions(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Re-point the mentions fact table at canonical entities — one
+    broadcast join (mapping is vocabulary-sized)."""
+    return (
+        mentions.join(
+            F.broadcast(mapping.select("name", "canonical_name")), "name", "left"
+        )
+        .withColumn("name", F.coalesce(F.col("canonical_name"), F.col("name")))
+        .drop("canonical_name")
+    )

@@ -1,0 +1,152 @@
+"""The staged KG-construction pipeline with per-partition lineage + resume
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+Stage DAG (SURVEY §7, stages enum FIXTURES.md §5):
+
+    extract → mentions → link → canonicalize(entities) → materialize
+    (edges/relationships/triples) → validate
+
+Each stage commits through :class:`StageStore` (Iceberg-snapshot semantics
+over parquet) and appends lineage rows — one per output partition:
+(run_id, stage, partition_id, input_rows, output_rows, wall_ms, status,
+committed_at) — the set-at-a-time lift of the reference's per-paper
+``extraction_logs`` (db_init.py:150-159).  A killed run re-enters at the
+first uncommitted stage; committed stages are read back, not recomputed
+(D8 resume, database.ts:66-81).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.entities import build_doc_concept_edges, build_entities
+from ..operators.extract import extract_docs
+from ..operators.linking import canonicalize, repoint_mentions
+from ..operators.mentions import clean_mentions, detect_mentions_native
+from ..operators.relationships import discover_relationships, upsert_relationship_edges
+from ..operators.triples import build_triples
+from ..operators.validation import (
+    apply_validated_flags,
+    entity_findings,
+    relationship_findings,
+)
+from ..sources.io import StageStore
+
+STAGES = (
+    "extract",
+    "mentions",
+    "entities",
+    "canonical_map",
+    "edges",
+    "relationships",
+    "triples",
+    "findings",
+    "validated_edges",
+)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        run_id: str = "run0",
+        link: bool = True,
+        link_threshold: float = 0.5,
+    ):
+        """``link`` toggles the canonicalization stage.  Note the trade-off
+        at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
+        so do containment pairs ('row batch'→'batch', j=0.56) — raise the
+        threshold for stricter linking, or disable for exact reference
+        parity (the reference has no linking at all, db_init.py:56)."""
+        self.spark = spark
+        self.store = StageStore(spark, out_dir)
+        self.run_id = run_id
+        self.link = link
+        self.link_threshold = link_threshold
+        self._recomputed: list[str] = []
+
+    # -- lineage ---------------------------------------------------------
+    def _lineage_rows(self, stage: str, out: DataFrame, input_rows: int, wall_ms: int):
+        per_part = (
+            out.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("output_rows"))
+            .select(
+                F.lit(self.run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                F.lit(input_rows).cast("long").alias("input_rows"),
+                F.col("output_rows").cast("long"),
+                F.lit(wall_ms).cast("long").alias("wall_ms"),
+                F.lit("success").alias("status"),
+                F.current_timestamp().alias("committed_at"),
+            )
+        )
+        per_part.write.mode("append").parquet(f"{self.store.base_dir}/_lineage")
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.store.base_dir}/_lineage")
+
+    # -- stage runner ----------------------------------------------------
+    def _stage(self, name: str, build, input_rows: int = -1) -> DataFrame:
+        if self.store.is_committed(name):
+            return self.store.read(name)
+        t0 = time.time()
+        df = build()
+        out = self.store.commit(name, df, self.run_id)
+        self._recomputed.append(name)
+        self._lineage_rows(name, out, input_rows, int((time.time() - t0) * 1000))
+        return out
+
+    # -- the pipeline ----------------------------------------------------
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        docs = self._stage("extract", lambda: extract_docs(pages))
+        raw_mentions = self._stage(
+            "mentions", lambda: clean_mentions(detect_mentions_native(docs))
+        )
+        if self.link:
+            raw_entities = build_entities(raw_mentions)
+            mapping = self._stage(
+                "canonical_map",
+                lambda: canonicalize(
+                    raw_entities.select("name", "mention_count"),
+                    threshold=self.link_threshold,
+                ),
+            )
+            mentions = repoint_mentions(raw_mentions, mapping)
+        else:
+            mentions = raw_mentions
+        entities = self._stage("entities", lambda: build_entities(mentions))
+        edges = self._stage("edges", lambda: build_doc_concept_edges(mentions))
+        rels = self._stage(
+            "relationships", lambda: discover_relationships(docs, mentions)
+        )
+        rel_edges, _null_rels = upsert_relationship_edges(rels)
+        triples = self._stage("triples", lambda: build_triples(edges, rel_edges))
+        findings = self._stage(
+            "findings",
+            lambda: entity_findings(entities, edges).unionByName(
+                relationship_findings(rels)
+            ),
+        )
+        validated = self._stage(
+            "validated_edges",
+            lambda: apply_validated_flags(
+                rel_edges, findings.where(F.col("item_kind") == "relationship")
+            ),
+        )
+        return {
+            "docs": docs,
+            "mentions": mentions,
+            "entities": entities,
+            "edges": edges,
+            "relationships": rels,
+            "triples": triples,
+            "findings": findings,
+            "validated_edges": validated,
+        }

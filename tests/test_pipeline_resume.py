@@ -1,0 +1,53 @@
+"""M5 — kill-and-resume semantics (SURVEY §5 item 3): delete stage-k+
+commits, rerun, assert identical final triples and no recomputation of
+committed stages."""
+
+from __future__ import annotations
+
+from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import Pipeline
+from agenticknowledgegraphconstructionsystem_spark.sources.pages import synthetic_pages
+
+
+def _triples(res):
+    return {(r["subj"], r["pred"], r["obj"]) for r in res["triples"].collect()}
+
+
+def test_resume_after_kill(spark, tmp_path):
+    pages = synthetic_pages(spark, 60)
+    p1 = Pipeline(spark, str(tmp_path / "kg"), run_id="r1")
+    t_full = _triples(p1.run(pages))
+    assert len(p1._recomputed) == len(
+        ["extract", "mentions", "canonical_map", "entities", "edges",
+         "relationships", "triples", "findings", "validated_edges"]
+    )
+
+    # simulate a crash after 'mentions': later stages lose their commits
+    p2 = Pipeline(spark, str(tmp_path / "kg"), run_id="r2")
+    for stage in ("canonical_map", "entities", "edges", "relationships",
+                  "triples", "findings", "validated_edges"):
+        p2.store.uncommit(stage)
+    t_resumed = _triples(p2.run(pages))
+
+    assert t_resumed == t_full
+    # committed stages were NOT recomputed
+    assert "extract" not in p2._recomputed
+    assert "mentions" not in p2._recomputed
+    assert "relationships" in p2._recomputed
+
+    # lineage: the resumed run logged only the recomputed stages
+    lin = p1.lineage().collect()
+    by_run_stage = {(r["run_id"], r["stage"]) for r in lin}
+    assert ("r1", "extract") in by_run_stage
+    assert ("r2", "extract") not in by_run_stage
+    assert ("r2", "relationships") in by_run_stage
+    # per-partition rows carry counts + status
+    assert all(r["status"] == "success" and r["output_rows"] > 0 for r in lin)
+
+
+def test_noop_rerun_recomputes_nothing(spark, tmp_path):
+    pages = synthetic_pages(spark, 40)
+    Pipeline(spark, str(tmp_path / "kg2"), run_id="a").run(pages)
+    p = Pipeline(spark, str(tmp_path / "kg2"), run_id="b")
+    res = p.run(pages)
+    assert p._recomputed == []
+    assert res["triples"].count() > 0
