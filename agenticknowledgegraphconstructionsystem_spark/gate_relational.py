@@ -1,0 +1,337 @@
+"""Relational operator-parity gate: one query per operator shape in
+SURVEY.md §2 (joins J1-J9, aggregations A1-A9, filters/CASE P4-P6, scans
+S10-S11, set ops, windows), expressed over the TPC-H-ish driver tables
+with exact DuckDB oracles.
+
+Money amounts go through floor(x*100) per row before summing — integer
+cents are exact in both engines regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_BIG = "bigint"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.floor(col * 100).cast(_BIG)
+
+
+# J1 — equi join x2 with endpoint dims (database.ts:369-382) + P-filter
+def q_equi_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("o_orderkey").cast(_BIG).alias("o_orderkey"),
+            "c_name",
+            "n_name",
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+        )
+    )
+
+
+O_EQUI_JOIN = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, c_name, n_name,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderpriority = '1-URGENT'"""
+
+
+# J4 — left outer join + count (db_init.py:173-182)
+def q_left_join_count(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast(_BIG).alias("n_orders"))
+        .select(F.col("c_custkey").cast(_BIG).alias("c_custkey"), "n_orders")
+    )
+
+
+O_LEFT_JOIN_COUNT = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey"""
+
+
+# J7 — anti join (database.ts:66-81 NOT EXISTS)
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast(_BIG).alias("c_custkey"), "c_name"
+    )
+
+
+O_ANTI_JOIN = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+# J9 — semi join existence probe (database.ts:320-326)
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast(_BIG).alias("c_custkey")
+    )
+
+
+O_SEMI_JOIN = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+
+# A2 — two-level aggregation (database_utils.py:341-348)
+def q_two_level_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    inner = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return inner.agg(
+        F.floor(F.avg("n") * 100).cast(_BIG).alias("avg_orders_per_cust_x100"),
+        F.count("*").cast(_BIG).alias("n_customers"),
+    )
+
+
+O_TWO_LEVEL_AGG = """
+SELECT CAST(FLOOR(AVG(n) * 100) AS BIGINT) AS avg_orders_per_cust_x100,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)"""
+
+
+# A3 — group agg with count + money (database_utils.py:352-357)
+def q_group_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").cast(_BIG).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).cast(_BIG).alias("sum_cents"),
+    )
+
+
+O_GROUP_AGG = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderstatus"""
+
+
+# A4 — top-k by counter (database_utils.py:364-369) with full tie-break
+def q_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").cast(_BIG).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(10)
+        .select(F.col("o_custkey").cast(_BIG).alias("o_custkey"), "n")
+    )
+
+
+O_TOPK = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_custkey ORDER BY n DESC, o_custkey ASC LIMIT 10"""
+
+
+# A5 — conditional aggregation (database.ts:455-461)
+def q_conditional_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast(_BIG)
+        .alias("n_urgent"),
+        F.count("*").cast(_BIG).alias("n"),
+    )
+
+
+O_CONDITIONAL_AGG = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus"""
+
+
+# A6 — count distinct (db_init.py:193)
+def q_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast(_BIG).alias("n_custs")
+    )
+
+
+O_COUNT_DISTINCT = """
+SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderstatus"""
+
+
+# A8/A9 — upsert-as-window-dedup (database.ts:264-289): latest order per cust
+def q_window_dedup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").cast(_BIG).alias("o_custkey"),
+            F.col("o_orderkey").cast(_BIG).alias("latest_orderkey"),
+        )
+    )
+
+
+O_WINDOW_DEDUP = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey, CAST(o_orderkey AS BIGINT) AS latest_orderkey
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1"""
+
+
+# P6 — CASE classification (extract_and_populate.py:264-268)
+def q_case_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.col("text").isNull() | (F.length("text") == 0), "No text")
+        .when(F.length("text") < 100, "Short")
+        .otherwise("OK")
+    )
+    return d.select("doc_id", status.alias("status"))
+
+
+O_CASE_BUCKETS = """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 'No text'
+            WHEN length(text) < 100 THEN 'Short'
+            ELSE 'OK' END AS status
+FROM documents"""
+
+
+# S11 — point lookup (database_utils.py:121-125)
+def q_point_lookup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_custkey") == 42).select(
+        F.col("c_custkey").cast(_BIG).alias("c_custkey"), "c_name", "c_mktsegment"
+    )
+
+
+O_POINT_LOOKUP = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey = 42"""
+
+
+# S10 — ordered scan + limit with deterministic tie-break
+def q_scan_order_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            F.col("o_orderkey").cast(_BIG).alias("o_orderkey"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+    )
+
+
+O_SCAN_ORDER_LIMIT = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate
+FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100"""
+
+
+# set ops — union + dedup (fetch_papers.py:183-186 seen-set semantics)
+def q_union_dedup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        a.unionByName(b)
+        .dropDuplicates()
+        .select(F.col("o_custkey").cast(_BIG).alias("o_custkey"))
+    )
+
+
+O_UNION_DEDUP = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT CAST(o_custkey AS BIGINT) FROM orders WHERE o_orderpriority = '1-URGENT'"""
+
+
+# events — tumbling-window aggregation (batch form of the streaming op)
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast(_BIG).alias("n"),
+            F.sum(_cents(F.col("value"))).cast(_BIG).alias("sum_cents"),
+        )
+        .select(F.col("hour").cast("string").alias("hour"), "event_type", "n", "sum_cents")
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY date_trunc('hour', ts), event_type"""
+
+
+# JSON scalar — from_json on the events props column (S5/JSON handling)
+def q_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").cast(_BIG).alias("event_id"),
+        F.get_json_object("props", "$.k").cast(_BIG).alias("k"),
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events"""
+
+
+REL_QUERIES = {
+    "rel_equi_join": q_equi_join,
+    "rel_left_join_count": q_left_join_count,
+    "rel_anti_join": q_anti_join,
+    "rel_semi_join": q_semi_join,
+    "rel_two_level_agg": q_two_level_agg,
+    "rel_group_agg": q_group_agg,
+    "rel_topk": q_topk,
+    "rel_conditional_agg": q_conditional_agg,
+    "rel_count_distinct": q_count_distinct,
+    "rel_window_dedup": q_window_dedup,
+    "rel_case_buckets": q_case_buckets,
+    "rel_point_lookup": q_point_lookup,
+    "rel_scan_order_limit": q_scan_order_limit,
+    "rel_union_dedup": q_union_dedup,
+    "rel_events_hourly": q_events_hourly,
+    "rel_json_extract": q_json_extract,
+}
+
+REL_ORACLES = {
+    "rel_equi_join": O_EQUI_JOIN,
+    "rel_left_join_count": O_LEFT_JOIN_COUNT,
+    "rel_anti_join": O_ANTI_JOIN,
+    "rel_semi_join": O_SEMI_JOIN,
+    "rel_two_level_agg": O_TWO_LEVEL_AGG,
+    "rel_group_agg": O_GROUP_AGG,
+    "rel_topk": O_TOPK,
+    "rel_conditional_agg": O_CONDITIONAL_AGG,
+    "rel_count_distinct": O_COUNT_DISTINCT,
+    "rel_window_dedup": O_WINDOW_DEDUP,
+    "rel_case_buckets": O_CASE_BUCKETS,
+    "rel_point_lookup": O_POINT_LOOKUP,
+    "rel_scan_order_limit": O_SCAN_ORDER_LIMIT,
+    "rel_union_dedup": O_UNION_DEDUP,
+    "rel_events_hourly": O_EVENTS_HOURLY,
+    "rel_json_extract": O_JSON_EXTRACT,
+}

@@ -1,0 +1,124 @@
+"""Text analysis for a training-data pipeline: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every function is pure Column expressions with exact integer/string
+outputs, so each has a bit-identical DuckDB oracle (gate_textdata.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language marker-token lists (n-gram heuristic); counts of
+#: ' tok ' occurrences in ' '||lower(text)||' ' decide the language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "is", "of", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+#: BPE-ish token regex: letter runs | digit runs | single non-space symbol
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _occurrences(hay: Column, needle: str) -> Column:
+    n = len(needle)
+    return ((F.length(hay) - F.length(F.replace(hay, F.lit(needle), F.lit("")))) / n).cast(
+        "long"
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), F.lower(F.coalesce(text, F.lit(""))), F.lit(" "))
+    return {
+        lang: sum(
+            (_occurrences(padded, f" {tok} ") for tok in toks), F.lit(0).cast("long")
+        )
+        for lang, toks in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker-token counts; ties break alphabetically (langs
+    iterated in sorted order, strict > replaces). 'und' (undetermined)
+    when all scores are 0."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(scores):  # alphabetical; strict > keeps earliest tie
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def add_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("detected_lang", detect_language(F.col(text_col)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Deterministic integer quality metrics:
+    n_chars, n_words, n_alpha, n_punct, stop_hits, mean_word_len_x100,
+    and quality_pct — a 0-100 composite.
+    """
+    t = F.coalesce(text, F.lit(""))
+    lower = F.lower(t)
+    n_chars = F.length(t).cast("long")
+    words = F.filter(F.split(lower, r"\s+"), lambda x: x != "")
+    n_words = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(lower, "[^.,;:!?]", "")).cast("long")
+    padded = F.concat(F.lit(" "), lower, F.lit(" "))
+    stop_hits = sum(
+        (_occurrences(padded, f" {tok} ") for tok in LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    # explicit floor(): Spark's cast(double->long) truncates while DuckDB's
+    # rounds — floor() agrees everywhere
+    mean_word_len_x100 = F.when(
+        n_words > 0, F.floor(n_alpha * 100 / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    # composite: alpha density (0-50) + word-length sanity (0-30) + length (0-20)
+    alpha_component = F.when(
+        n_chars > 0, F.floor(n_alpha * 50 / n_chars).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    wl = mean_word_len_x100
+    wl_component = (
+        F.when((wl >= 300) & (wl <= 800), F.lit(30))
+        .when((wl >= 200) & (wl < 300), F.lit(15))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    len_component = F.least(F.lit(20).cast("long"), F.floor(n_chars / 50).cast("long"))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_alpha": n_alpha,
+        "n_punct": n_punct,
+        "stop_hits": stop_hits,
+        "mean_word_len_x100": mean_word_len_x100,
+        "quality_pct": alpha_component + wl_component + len_component,
+    }
+
+
+def add_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_columns(F.col(text_col))
+    return docs.select("*", *[c.alias(n) for n, c in cols.items()])
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    lower = F.lower(F.coalesce(text, F.lit("")))
+    ws = F.size(F.filter(F.split(lower, r"\s+"), lambda x: x != "")).cast("long")
+    bpe = F.size(F.regexp_extract_all(lower, F.lit(TOKEN_REGEX), 0)).cast("long")
+    return {"ws_tokens": ws, "bpe_tokens": bpe}
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    (md5 exists in Spark and DuckDB → oracle-checkable).  A rolling-hash
+    variant for shift-tolerant matching would be a pandas UDF extension."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
+    return F.md5(norm)

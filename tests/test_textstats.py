@@ -1,0 +1,61 @@
+"""Text-analysis operators: language ID, quality metrics, token counts,
+fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+    add_language,
+    add_quality,
+    fingerprint,
+    token_counts,
+)
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat and the dog is of to the house"),
+            Row(doc_id=1, text="der Hund und die Katze ist nicht hier und der Rest"),
+            Row(doc_id=2, text="le chat et la maison les arbres est grand"),
+            Row(doc_id=3, text="el perro y la casa de los gatos que viven"),
+            Row(doc_id=4, text="xyz qqq zzz"),
+            Row(doc_id=5, text=None),
+        ]
+    )
+    got = {r["doc_id"]: r["detected_lang"] for r in add_language(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und", 5: "und"}
+
+
+def test_quality_metrics(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="The quick brown fox. It runs!")])
+    r = add_quality(docs).collect()[0]
+    assert r["n_chars"] == 29
+    assert r["n_words"] == 6
+    assert r["n_alpha"] == 22  # letters only
+    assert r["n_punct"] == 2   # '.' and '!'
+    assert r["mean_word_len_x100"] == 366  # floor(22*100/6)
+    assert 0 <= r["quality_pct"] <= 100
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="Hello world42, it's x-ray time")])
+    r = docs.select(*[c.alias(n) for n, c in token_counts(F.col("text")).items()]).collect()[0]
+    assert r["ws_tokens"] == 5
+    # bpe-ish: hello|world|42|,|it|'|s|x|-|ray|time
+    assert r["bpe_tokens"] == 11
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="hello   world\n\tagain"),
+            Row(doc_id=1, text=" hello world again "),
+            Row(doc_id=2, text="hello world againn"),
+        ]
+    )
+    got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
