@@ -69,21 +69,31 @@ def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
 def build_doc_concept_edges(mentions: DataFrame) -> DataFrame:
     """A8 last-write-wins upsert semantics (database.ts:132-135): one edge
     per (url, name), keeping the highest-relevance mention with explicit
-    tie-breaks (pos, context) for full determinism."""
-    w = Window.partitionBy("url", "name").orderBy(
-        F.desc("relevance_pct"), F.asc("pos"), F.asc("context")
+    tie-breaks (pos asc, context asc) for full determinism.
+
+    Implemented as a min(struct) aggregation rather than a row_number
+    window: the aggregate partial-combines map-side, so only one candidate
+    row per (url, name) per input partition reaches the shuffle — a window
+    would shuffle and sort every mention row.  The struct leads with
+    -relevance so min() realizes (relevance DESC, pos ASC, context ASC).
+    """
+    best = mentions.groupBy("url", "name").agg(
+        F.min(
+            F.struct(
+                (-F.col("relevance_pct")).alias("neg_rel"),
+                F.col("pos").alias("pos"),
+                F.col("context").alias("context"),
+                F.col("concept_type").alias("concept_type"),
+            )
+        ).alias("b")
     )
-    return (
-        mentions.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "url",
-            F.xxhash64("name").alias("entity_id"),
-            "name",
-            "concept_type",
-            "relevance_pct",
-            "context",
-        )
+    return best.select(
+        "url",
+        F.xxhash64("name").alias("entity_id"),
+        "name",
+        F.col("b.concept_type").alias("concept_type"),
+        (-F.col("b.neg_rel")).cast("int").alias("relevance_pct"),
+        F.col("b.context").alias("context"),
     )
 
 

@@ -37,7 +37,9 @@ from .. import semantics as S
 
 def seminal_url(mentions: DataFrame) -> DataFrame:
     """1-row DF: the hub document (deterministic stand-in for
-    ``is_seminal = true LIMIT 1``, database.ts:226-231)."""
+    ``is_seminal = true LIMIT 1``, database.ts:226-231).  Always computed
+    over the UNFILTERED mentions — the relevance prefilter applies to the
+    shared-concept intersection, not to hub election."""
     return mentions.agg(F.min("url").alias("seminal_url"))
 
 
@@ -52,7 +54,7 @@ def hub_shared_concepts(mentions: DataFrame) -> DataFrame:
         "url", "name", "relevance_pct"
     )
     sem = (
-        m.join(F.broadcast(seminal_url(m)), m.url == F.col("seminal_url"))
+        m.join(F.broadcast(seminal_url(mentions)), m.url == F.col("seminal_url"))
         .select(
             F.col("name").alias("sem_name"),
             F.col("relevance_pct").alias("sem_rel_pct"),
@@ -125,12 +127,43 @@ def _keyword_hit(lower_text, keywords: tuple[str, ...]):
     return hit
 
 
+def keyword_flag_cols(lower_text) -> list:
+    """One boolean per relationship type, each = OR over its keyword
+    `contains`.  Evaluated ONCE on the scan side so the heavy text column
+    never crosses a shuffle and each keyword is scanned exactly once —
+    chaining the raw `contains` into the classification when-tree instead
+    re-evaluates them per branch and blows up the generated code."""
+    return [
+        _keyword_hit(lower_text, S.TYPE_KEYWORDS[t]).alias(f"kw_{t}")
+        for t in S.RELATIONSHIP_TYPES
+    ]
+
+
+def classify_from_flags():
+    """D4 deterministic classifier over the precomputed kw_* flags:
+    priority-ordered (keyword table order = validation-agent.ts:301-308)
+    with the shared-concept strength fallback
+    (semantics.classify_relationship_type)."""
+    fallback = (
+        F.when(F.col("hi") >= 3, F.lit("builds_on"))
+        .when(F.col("hi") >= 1, F.lit("extends"))
+        .when(F.col("med") >= 2, F.lit("evaluates"))
+        .when(F.col("med") >= 1, F.lit("addresses"))
+        .when(F.col("lo") >= 1, F.lit("cites"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rtype = fallback
+    for t in reversed(S.RELATIONSHIP_TYPES):
+        rtype = F.when(F.col(f"kw_{t}"), F.lit(t)).otherwise(rtype)
+    kw_found = F.lit(False)
+    for t in S.RELATIONSHIP_TYPES:
+        kw_found = kw_found | F.col(f"kw_{t}")
+    return rtype, kw_found
+
+
 def classify_cols(lower_text):
-    """D4 deterministic classifier as Columns: priority-ordered keyword scan
-    (keyword table = validation-agent.ts:301-308) with a shared-concept
-    strength fallback (semantics.classify_relationship_type)."""
-    rtype = None
-    # build from lowest priority upward so earlier types win
+    """Back-compat single-expression form (small inputs only — prefer
+    keyword_flag_cols + classify_from_flags on big corpora)."""
     fallback = (
         F.when(F.col("hi") >= 3, F.lit("builds_on"))
         .when(F.col("hi") >= 1, F.lit("extends"))
@@ -186,25 +219,55 @@ def discover_relationships(docs: DataFrame, mentions: DataFrame) -> DataFrame:
     database.ts:295-315), 0-shared docs included at floor confidence —
     exactly the reference control flow, set-at-a-time.
 
+    Physical shape (sized for 10^12 docs): the hub's mention set is tiny
+    (one document's concepts) → TWO small broadcast jobs (hub election,
+    hub mentions), then ONE pass over the mentions fact table — a
+    broadcast left join + conditional aggregation computes candidates AND
+    shared-bucket counts together (no separate distinct/anti-join stages,
+    no recomputation of the detection subplan), followed by one shuffle
+    join against docs for the keyword scan.
+
     Output: (source_url, target_url, rel_type, confidence_pct, explanation,
     n_shared, hi, med, lo, kw_found).
     """
-    sem = seminal_url(mentions)
-    shared = hub_shared_concepts(mentions)
-    buckets = _bucket_agg(shared, ["url"])
-    candidates = (
-        mentions.select("url")
-        .distinct()
-        .join(F.broadcast(sem), F.col("url") != F.col("seminal_url"))
+    semu = seminal_url(mentions)
+    sem = (
+        mentions.join(F.broadcast(semu), F.col("url") == F.col("seminal_url"))
+        .where(F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT)
+        .select(
+            F.col("name").alias("sem_name"),
+            F.col("relevance_pct").alias("sem_rel_pct"),
+        )
     )
-    stats = candidates.join(buckets, "url", "left").fillna(
-        0, subset=["n_shared", "hi", "med", "lo"]
+    j = (
+        mentions.select("url", "name", "relevance_pct")
+        .join(F.broadcast(sem), F.col("name") == F.col("sem_name"), "left")
+        .join(F.broadcast(semu), F.col("url") != F.col("seminal_url"))
+    )
+    is_shared = (F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT) & F.col(
+        "sem_rel_pct"
+    ).isNotNull()
+    avg2 = F.col("relevance_pct") + F.col("sem_rel_pct")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("int")
+
+    stats = j.groupBy("url", "seminal_url").agg(
+        _cnt(is_shared).alias("n_shared"),
+        _cnt(is_shared & (avg2 >= 2 * S.HI_BUCKET_PCT)).alias("hi"),
+        _cnt(
+            is_shared & (avg2 >= 2 * S.MED_BUCKET_PCT) & (avg2 < 2 * S.HI_BUCKET_PCT)
+        ).alias("med"),
+        _cnt(
+            is_shared & (avg2 >= 2 * S.LO_BUCKET_PCT) & (avg2 < 2 * S.MED_BUCKET_PCT)
+        ).alias("lo"),
     )
     lower_text = F.lower(F.coalesce(F.col("extracted_text"), F.lit("")))
-    with_text = stats.join(
-        docs.select("url", lower_text.alias("lt")), "url", "left"
-    )
-    rtype, kw_found = classify_cols(F.col("lt"))
+    # keyword flags computed on the docs scan side: the text column is
+    # pruned before the shuffle (only url + 6 booleans cross the exchange)
+    flags = docs.select("url", *keyword_flag_cols(lower_text))
+    with_text = stats.join(flags, "url", "left")
+    rtype, kw_found = classify_from_flags()
     base = base_confidence_col()
     conf = F.when(
         kw_found, F.least(F.lit(S.CONF_KEYWORD_CEIL_PCT), base + S.KEYWORD_BONUS_PCT)

@@ -1,0 +1,188 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY §2.7 D12); its incremental anti-join
+resume (D8) covers the capability.  These operators are the streaming
+extension a continuously-crawled corpus needs:
+
+* :func:`streaming_pages_source` — file-source stream over a pages/
+  events-shaped parquet directory (new crawl snapshots appear as files;
+  ``availableNow`` triggers give exactly-once incremental batches).
+* :func:`windowed_event_counts` — watermarked tumbling-window aggregation
+  (late data beyond the watermark is dropped, state is bounded).
+* :func:`streaming_mentions` — the D1 detector applied to a stream: pure
+  narrow transformation, so it runs per micro-batch with no state.
+* :func:`sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: groups events per user into sessions closed
+  by a gap timeout (the canonical "operator Spark lacks" example).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.mentions import detect_mentions_native
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_events_source(spark: SparkSession, dir_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir_path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with a watermark bounding state (late rows
+    older than the watermark are dropped — the streaming analog of
+    rel_events_hourly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def streaming_mentions(pages_stream: DataFrame) -> DataFrame:
+    """D1 over a stream — stateless narrow op, identical semantics to the
+    batch detector (same Column expressions)."""
+    docs = pages_stream.select(
+        "url", F.coalesce(F.col("text"), F.lit(None).cast("string")).alias("extracted_text")
+    )
+    return detect_mentions_native(docs)
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def _sessionize_fn(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed last_event + gap: close the open session
+        start_us, last_us, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+                "sum_value": [sv],
+            }
+        )
+        return
+    closed = []
+    if state.exists:
+        start_us, last_us, n, sv = state.get
+    else:
+        start_us = last_us = None
+        n, sv = 0, 0.0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and us - last_us > _GAP_US:
+                closed.append((start_us, last_us, n, sv))
+                start_us, n, sv = us, 0, 0.0
+            if start_us is None:
+                start_us = us
+            last_us = us
+            n += 1
+            sv += float(value)
+    state.update((start_us, last_us, n, sv))
+    # event-time timeout: fires when the WATERMARK (not the wall clock)
+    # passes last_event + gap — deterministic, and terminates cleanly under
+    # trigger(availableNow) (a processing-time timeout would keep the query
+    # scheduling batches forever waiting for wall-clock time to pass)
+    state.setTimeoutTimestamp(last_us // 1000 + _GAP_US // 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, *_ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization with applyInPandasWithState (event-time
+    timeout closes idle sessions once the watermark passes the gap)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain all currently-available input into an in-memory sink and
+    return the result table (deterministic incremental batch — the test
+    and demo harness).  Watermarked aggregations only emit *finalized*
+    windows in append mode; a one-shot drain should use
+    output_mode='complete' to observe all windows."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,94 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Runs the flagship KG pipeline plus the heavy training-data/relational
+operators at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Each query is forced end-to-end with the noop
+writer (full materialization — count() alone would let Catalyst prune
+columns and under-report).
+
+Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "throughput": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agenticknowledgegraphconstructionsystem_spark.session import get_spark  # noqa: E402
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="kg-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from agenticknowledgegraphconstructionsystem_spark.gate import KG_QUERIES
+    from agenticknowledgegraphconstructionsystem_spark.gate_relational import REL_QUERIES
+    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import TEXT_QUERIES
+
+    bench_set = {
+        # flagship: full KG pipeline to triples (extract->mentions->entities
+        # ->hub-join->classify->union)
+        "kg_triples": KG_QUERIES["kg_triples"],
+        "kg_relationships": KG_QUERIES["kg_relationships"],
+        "kg_validation_summary": KG_QUERIES["kg_validation_summary"],
+        # training-data ops
+        "td_minhash_dups": TEXT_QUERIES["td_minhash_dups"],
+        "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
+        "td_ann_cosine_topk": TEXT_QUERIES["td_ann_cosine_topk"],
+        "td_quality": TEXT_QUERIES["td_quality"],
+        # relational heavies
+        "rel_equi_join": REL_QUERIES["rel_equi_join"],
+        "rel_window_dedup": REL_QUERIES["rel_window_dedup"],
+        "rel_events_hourly": REL_QUERIES["rel_events_hourly"],
+    }
+
+    # warm the JVM/codegen once on the smallest table so per-query numbers
+    # measure the plan, not first-job setup
+    spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_set.items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_triples_df = KG_QUERIES["kg_triples"](spark, sf_dir)
+    n_triples = n_triples_df.count()
+    kg_sec = timings["kg_triples"]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "throughput": {
+                    "docs_per_sec": round(n_docs / kg_sec, 1),
+                    "triples_per_sec": round(n_triples / kg_sec, 1),
+                    "n_docs": n_docs,
+                    "n_triples": n_triples,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
