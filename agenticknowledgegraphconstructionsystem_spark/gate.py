@@ -144,7 +144,37 @@ def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(done, "doc_id", "left_anti").select("doc_id")
 
 
+#: appended to every 5th document in the open-triples gate so the check has
+#: non-empty output (the synthetic corpus vocabulary contains no relation
+#: keywords); the oracle SQL appends the identical literal
+OPEN_TRIPLE_SEED_SENTENCE = (
+    ". the spark pipeline improves the seminal table scan approach."
+)
+
+
+def q_open_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 sentence-level (subj, pred, obj) extraction (Arrow UDF)."""
+    from .operators.open_triples import extract_open_triples
+
+    seeded = _docs(spark, sf_dir).withColumn(
+        "extracted_text",
+        F.when(
+            F.col("url") % 5 == 0,
+            F.concat(F.col("extracted_text"), F.lit(OPEN_TRIPLE_SEED_SENTENCE)),
+        ).otherwise(F.col("extracted_text")),
+    )
+    t = extract_open_triples(seeded, text_col="extracted_text")
+    return t.select(
+        F.col("url").cast(_BIG).alias("doc_id"),
+        "subj",
+        "pred",
+        "obj",
+        F.col("sent_idx").cast(_BIG).alias("sent_idx"),
+    )
+
+
 KG_QUERIES = {
+    "kg_open_triples": q_open_triples,
     "kg_mentions": q_mentions,
     "kg_entities": q_entities,
     "kg_top_concepts": q_top_concepts,

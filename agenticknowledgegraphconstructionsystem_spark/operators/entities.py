@@ -41,19 +41,21 @@ def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
     salted = mentions.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
     )
+    # numeric-only aggregate buffers keep both phases in HashAggregate
+    # (whole-stage codegen); a min(struct(url, context)) here would force a
+    # SortAggregate fallback with full sorts around every exchange — the
+    # keep-first context lives in entity_first_context() instead
     partial = salted.groupBy("name", "concept_type", "salt").agg(
         F.countDistinct("url").alias("pc"),
         F.sum("relevance_pct").alias("srel"),
         F.max("relevance_pct").alias("xrel"),
         F.min("relevance_pct").alias("nrel"),
-        F.min(F.struct("url", "context")).alias("first_ctx"),
     )
     return partial.groupBy("name", "concept_type").agg(
         F.sum("pc").cast("long").alias("mention_count"),
         F.sum("srel").cast("long").alias("sum_relevance_pct"),
         F.max("xrel").alias("max_relevance_pct"),
         F.min("nrel").alias("min_relevance_pct"),
-        F.min("first_ctx").getField("context").alias("first_context"),
     ).select(
         F.xxhash64("name").alias("entity_id"),
         "name",
@@ -62,7 +64,18 @@ def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
         "sum_relevance_pct",
         "max_relevance_pct",
         "min_relevance_pct",
-        "first_context",
+    )
+
+
+def entity_first_context(edges: DataFrame) -> DataFrame:
+    """Keep-first description semantics (database.ts:109 COALESCE keeps the
+    earliest write): the context of the lexicographically-first url per
+    entity, from the already-deduped edge table.  Runs on the edge table
+    (one row per (url, name)) — far smaller than the mentions fact table."""
+    return (
+        edges.groupBy("name")
+        .agg(F.min(F.struct("url", "context")).alias("f"))
+        .select("name", F.col("f.context").alias("first_context"))
     )
 
 

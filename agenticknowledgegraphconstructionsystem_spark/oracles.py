@@ -243,6 +243,53 @@ SELECT t.item_kind, t.total,
 FROM totals t LEFT JOIN counts c USING (item_kind)"""
 
 
+def open_triples_sql() -> str:
+    """D2 oracle: sentence split + ordered gazetteer pair with a type
+    keyword strictly between the first occurrences (strpos is 1-based but
+    the pa < pk < pb inequalities are shift-invariant)."""
+    gaz_names = ", ".join(f"('{n}')" for n, _ in S.GAZETTEER)
+    kws = ", ".join(
+        f"('{t}', '{kw}')" for t in S.RELATIONSHIP_TYPES for kw in S.TYPE_KEYWORDS[t]
+    )
+    return f"""
+WITH gaz(name) AS (VALUES {gaz_names}),
+kws(rtype, kw) AS (VALUES {kws}),
+seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || '. the spark pipeline improves the seminal table scan approach.'
+              ELSE text END AS text
+  FROM documents
+),
+sarr AS (
+  SELECT doc_id,
+         string_split_regex(substr(text, 1, {S.EXTRACT_TRUNCATE_CHARS}), '{S.SENTENCE_SPLIT_RE}') AS arr
+  FROM seeded WHERE text IS NOT NULL
+),
+sents AS (
+  SELECT doc_id, i - 1 AS sent_idx, lower(arr[i]) AS ls
+  FROM sarr, unnest(range(1, len(arr) + 1)) AS t(i)
+),
+pres AS (
+  SELECT s.doc_id, s.sent_idx, g.name, strpos(s.ls, g.name) AS p
+  FROM sents s CROSS JOIN gaz g WHERE strpos(s.ls, g.name) > 0
+),
+kwp AS (
+  SELECT s.doc_id, s.sent_idx, k.rtype, strpos(s.ls, k.kw) AS pk
+  FROM sents s CROSS JOIN kws k WHERE strpos(s.ls, k.kw) > 0
+),
+trip AS (
+  SELECT a.doc_id, a.name AS subj, k.rtype AS pred, b.name AS obj, a.sent_idx
+  FROM pres a
+  JOIN pres b ON a.doc_id = b.doc_id AND a.sent_idx = b.sent_idx AND a.name <> b.name
+  JOIN kwp k ON k.doc_id = a.doc_id AND k.sent_idx = a.sent_idx
+            AND k.pk > a.p AND k.pk < b.p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, subj, pred, obj,
+       CAST(MIN(sent_idx) AS BIGINT) AS sent_idx
+FROM trip GROUP BY doc_id, subj, pred, obj"""
+
+
 #: oracle SQL per gate-query key (DuckDB dialect; driver pre-registers the
 #: parquet tables as views)
 KG_ORACLES: dict[str, str] = {
@@ -294,3 +341,5 @@ SELECT doc_id,
 FROM documents""",
     "kg_resume_anti_join": "SELECT doc_id FROM documents WHERE doc_id % 3 <> 0",
 }
+
+KG_ORACLES["kg_open_triples"] = open_triples_sql()

@@ -448,6 +448,55 @@ def is_valid(issues: list[tuple[str, str]]) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# D2 — OpenIE-style per-sentence triple extraction (north_star: "batched
+# mention detection and OpenIE-style (subj, pred, obj) triple extraction
+# replacing the reference's per-document LLM agent loop")
+# ---------------------------------------------------------------------------
+
+SENTENCE_SPLIT_RE = "[.!?]+"
+_SENT_RE = re.compile(SENTENCE_SPLIT_RE)
+
+
+def extract_open_triples(
+    text: str | None, gazetteer=GAZETTEER
+) -> list[tuple[str, str, str, int]]:
+    """Deterministic sentence-level (subj, pred, obj) extraction.
+
+    For each sentence (split on [.!?]+) and each ordered pair of distinct
+    gazetteer terms a, b present in it: emit (a, rtype, b) for every
+    relationship type that has a keyword k with pos(a) < pos(k) < pos(b)
+    (first-occurrence positions in the lowered sentence).  Output is the
+    per-document distinct set of (subj, pred, obj) with the first sentence
+    index as evidence pointer.  Pure function — shared by the Arrow UDF and
+    renderable as SQL for the DuckDB oracle.
+    """
+    if not text:
+        return []
+    out: dict[tuple[str, str, str], int] = {}
+    names = [n for n, _ in gazetteer]
+    for si, sent in enumerate(_SENT_RE.split(text[:EXTRACT_TRUNCATE_CHARS])):
+        ls = sent.lower()
+        if not ls.strip():
+            continue
+        present = [(n, ls.find(n)) for n in names]
+        present = [(n, p) for n, p in present if p >= 0]
+        if len(present) < 2:
+            continue
+        kw_pos = {
+            t: [p for kw in TYPE_KEYWORDS[t] if (p := ls.find(kw)) >= 0]
+            for t in RELATIONSHIP_TYPES
+        }
+        for a, pa in present:
+            for b, pb in present:
+                if a == b:
+                    continue
+                for t in RELATIONSHIP_TYPES:
+                    if any(pa < pk < pb for pk in kw_pos[t]):
+                        out.setdefault((a, t, b), si)
+    return [(s, p, o, si) for (s, p, o), si in sorted(out.items())]
+
+
+# ---------------------------------------------------------------------------
 # Deterministic keys (SURVEY §1.2: never monotonically_increasing_id)
 # ---------------------------------------------------------------------------
 

@@ -46,8 +46,11 @@ HOT_CONCEPT = "spark"
 
 #: relationship-keyword sentences, one per type (keyword tables from
 #: validation-agent.ts:301-308)
+#: subj (hot concept) precedes the keyword, which precedes the object — so
+#: the same sentence drives D4 doc-level classification AND D2
+#: sentence-level open-triple extraction
 _REL_SENTENCES = {
-    rtype: f"this work {kws[0]}s the seminal {HOT_CONCEPT} system in several ways"
+    rtype: f"the {HOT_CONCEPT} pipeline {kws[0]}s the seminal table scan approach."
     for rtype, kws in TYPE_KEYWORDS.items()
 }
 
