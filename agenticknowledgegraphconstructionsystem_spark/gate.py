@@ -136,6 +136,34 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 byte-identical extraction through the REAL html path: documents
+    are wrapped into pages html (sources.pages.pages_from_documents, text
+    column nulled so every row pays the Arrow-UDF parse), extracted, and
+    compared against the DuckDB oracle's string reconstruction of the
+    reference semantics ('\\n--- Page 1 ---\\n' + text, outer strip).
+
+    Assumption (probed, holds for the driver corpus): documents.text is
+    tag-free.  A '<...>' substring in text would be stripped by the real
+    extractor but not by the oracle's reconstruction — the UDF is right,
+    the oracle reconstruction only models tag-free bodies."""
+    from .operators.extract import extract_docs
+    from .sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    docs = extract_docs(pages)
+    return docs.select(
+        F.replace(F.col("url"), F.lit("https://example.org/doc/"), F.lit(""))
+        .cast(_BIG)
+        .alias("doc_id"),
+        F.col("extracted_text"),
+        F.col("n_chars").cast(_BIG).alias("n_chars"),
+        F.col("n_pages").cast(_BIG).alias("n_pages"),
+    )
+
+
 def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 resume semantics (database.ts:66-81): docs with NO success log.
     The lineage set is simulated deterministically (doc_id % 3 == 0)."""
@@ -184,5 +212,6 @@ KG_QUERIES = {
     "kg_validation_summary": q_validation_summary,
     "kg_triples": q_triples,
     "kg_extract_stats": q_extract_stats,
+    "kg_extract_html": q_extract_html,
     "kg_resume_anti_join": q_resume_anti_join,
 }

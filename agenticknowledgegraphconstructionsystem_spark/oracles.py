@@ -343,3 +343,19 @@ FROM documents""",
 }
 
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
+
+# S7 through the html path: pages_from_documents wraps text in ONE
+# <section>, so the reference extractor semantics reduce to
+# ('\n--- Page 1 ---\n' + text).strip(); leading char is '-', so only the
+# right trim can fire (trim charset == Python str.strip whitespace set)
+KG_ORACLES["kg_extract_html"] = """
+WITH ws(c) AS (SELECT ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+ex AS (
+  SELECT doc_id,
+         rtrim('--- Page 1 ---' || chr(10) || text, (SELECT c FROM ws)) AS extracted_text
+  FROM documents
+)
+SELECT doc_id, extracted_text,
+       CAST(length(extracted_text) AS BIGINT) AS n_chars,
+       CAST(1 AS BIGINT) AS n_pages
+FROM ex"""

@@ -43,6 +43,7 @@ def main() -> None:
         "kg_triples": KG_QUERIES["kg_triples"],
         "kg_relationships": KG_QUERIES["kg_relationships"],
         "kg_validation_summary": KG_QUERIES["kg_validation_summary"],
+        "kg_open_triples": KG_QUERIES["kg_open_triples"],
         # training-data ops
         "td_minhash_dups": TEXT_QUERIES["td_minhash_dups"],
         "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
@@ -63,6 +64,22 @@ def main() -> None:
         t0 = time.time()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+
+    # entity linking + canonicalization (iterative — timed separately)
+    from pyspark.sql import functions as F
+
+    from agenticknowledgegraphconstructionsystem_spark.gate import _mentions
+    from agenticknowledgegraphconstructionsystem_spark.operators.entities import (
+        build_entities,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+        canonicalize,
+    )
+
+    t0 = time.time()
+    ents = build_entities(_mentions(spark, sf_dir)).select("name", "mention_count")
+    canonicalize(ents).write.format("noop").mode("overwrite").save()
+    timings["kg_canonicalize"] = round(time.time() - t0, 3)
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples_df = KG_QUERIES["kg_triples"](spark, sf_dir)
