@@ -124,6 +124,22 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_concept_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paper_concept_summary view (db_init.py:173-182, J4): per-doc concept
+    count + relevance aggregate, docs with zero mentions included."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    m = _mentions(spark, sf_dir)
+    agg = m.groupBy(F.col("url").alias("doc_id")).agg(
+        F.count("*").cast(_BIG).alias("n_concepts"),
+        F.sum("relevance_pct").cast(_BIG).alias("sum_relevance_pct"),
+    )
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_concepts"), F.lit(0)).cast(_BIG).alias("n_concepts"),
+        F.coalesce(F.col("sum_relevance_pct"), F.lit(0)).cast(_BIG).alias("sum_relevance_pct"),
+    )
+
+
 def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 (extract_and_populate.py:73-87) over documents.text."""
     from .operators.extract import word_count_col
@@ -161,6 +177,33 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("extracted_text"),
         F.col("n_chars").cast(_BIG).alias("n_chars"),
         F.col("n_pages").cast(_BIG).alias("n_pages"),
+    )
+
+
+SEARCH_QUERY_TOKENS = ("spark", "join", "window")
+
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTS capability (db_init.py:35-36 tsvector + :255-262 ts_rank):
+    token-overlap ranking — score = total occurrences of the query tokens,
+    AND-semantics filter (every token present), top-20 by (score, doc_id)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    score = None
+    present = F.lit(True)
+    for tok in SEARCH_QUERY_TOKENS:
+        occ = (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {tok} "), F.lit(""))))
+            / (len(tok) + 2)
+        ).cast("long")
+        score = occ if score is None else score + occ
+        present = present & (occ > 0)
+    return (
+        d.select("doc_id", score.alias("score"), present.alias("ok"))
+        .where(F.col("ok"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.col("score").cast(_BIG).alias("score"))
     )
 
 
@@ -213,5 +256,7 @@ KG_QUERIES = {
     "kg_triples": q_triples,
     "kg_extract_stats": q_extract_stats,
     "kg_extract_html": q_extract_html,
+    "kg_doc_concept_summary": q_doc_concept_summary,
     "kg_resume_anti_join": q_resume_anti_join,
+    "kg_text_search": q_text_search,
 }

@@ -344,6 +344,31 @@ FROM documents""",
 
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
 
+def _search_sql() -> str:
+    from .gate import SEARCH_QUERY_TOKENS  # single source for the token set
+
+    occs = [
+        f"CAST((length(p) - length(replace(p, ' {t} ', ''))) / {len(t) + 2} AS BIGINT)"
+        for t in SEARCH_QUERY_TOKENS
+    ]
+    score = " + ".join(occs)
+    present = " AND ".join(f"({o}) > 0" for o in occs)
+    return f"""
+WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)
+SELECT doc_id, {score} AS score FROM p
+WHERE {present}
+ORDER BY score DESC, doc_id ASC LIMIT 20"""
+
+
+KG_ORACLES["kg_text_search"] = _search_sql()
+
+KG_ORACLES["kg_doc_concept_summary"] = with_kg() + """
+SELECT d.doc_id,
+       CAST(COALESCE(COUNT(m.name), 0) AS BIGINT) AS n_concepts,
+       CAST(COALESCE(SUM(m.relevance_pct), 0) AS BIGINT) AS sum_relevance_pct
+FROM documents d LEFT JOIN mentions m ON m.doc_id = d.doc_id
+GROUP BY d.doc_id"""
+
 # S7 through the html path: pages_from_documents wraps text in ONE
 # <section>, so the reference extractor semantics reduce to
 # ('\n--- Page 1 ---\n' + text).strip(); leading char is '-', so only the

@@ -92,6 +92,44 @@ class Pipeline:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.store.base_dir}/_lineage")
 
+    def export_report(self, path: str) -> dict:
+        """S12 (run-validation.ts:186-228): JSON report of only the
+        problematic items + summary counts.  The findings table is tiny
+        relative to the corpus (items with issues), so collect-and-dump is
+        the right shape; a huge report would switch to df.write.json."""
+        import json as _json
+
+        findings = self._results["findings"]
+        per_item = (
+            findings.groupBy("item_kind", "item_key")
+            .agg(
+                F.collect_list(F.struct("rule", "severity")).alias("issues"),
+                F.max((F.col("severity") == "error").cast("int")).alias("has_error"),
+            )
+            .orderBy("item_kind", "item_key")
+        )
+        items = [
+            {
+                "kind": r["item_kind"],
+                "key": r["item_key"],
+                "is_valid": not bool(r["has_error"]),
+                "issues": [{"rule": i["rule"], "severity": i["severity"]} for i in r["issues"]],
+            }
+            for r in per_item.collect()
+        ]
+        report = {
+            "run_id": self.run_id,
+            "totals": {
+                "entities": self._results["entities"].count(),
+                "relationships": self._results["relationships"].count(),
+                "problematic_items": len(items),
+            },
+            "items": items,
+        }
+        with open(path, "w") as f:
+            _json.dump(report, f, indent=2, sort_keys=True)
+        return report
+
     # -- stage runner ----------------------------------------------------
     def _stage(self, name: str, build, input_rows: int = -1) -> DataFrame:
         if self.store.is_committed(name):
@@ -140,6 +178,13 @@ class Pipeline:
                 rel_edges, findings.where(F.col("item_kind") == "relationship")
             ),
         )
+        self._results = {
+            "docs": docs,
+            "mentions": mentions,
+            "entities": entities,
+            "relationships": rels,
+            "findings": findings,
+        }
         return {
             "docs": docs,
             "mentions": mentions,

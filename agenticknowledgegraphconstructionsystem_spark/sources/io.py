@@ -25,6 +25,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+#: real-cluster DDL the shim stands in for (SURVEY §2.1 S13: indexes →
+#: bucketed partitioning + min/max file pruning; views → saved DataFrames)
+ICEBERG_DDL = {
+    "pages": """
+        CREATE TABLE kg.pages (
+          url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)
+        USING iceberg PARTITIONED BY (bucket(1024, url))""",
+    "mentions": """
+        CREATE TABLE kg.mentions (
+          url STRING, name STRING, concept_type STRING,
+          relevance_pct INT, pos INT, context STRING)
+        USING iceberg PARTITIONED BY (bucket(1024, url))""",
+    "entities": """
+        CREATE TABLE kg.entities (
+          entity_id BIGINT, name STRING, concept_type STRING,
+          mention_count BIGINT, sum_relevance_pct BIGINT,
+          max_relevance_pct INT, min_relevance_pct INT)
+        USING iceberg PARTITIONED BY (bucket(64, name))""",
+    "merge_docs": """
+        MERGE INTO kg.docs t USING updates s ON t.url = s.url
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""",
+}
+
+
 class StageStore:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark

@@ -1,0 +1,64 @@
+"""Production entry point — the job you spark-submit on a real cluster.
+
+    spark-submit \
+      --py-files kgspark.zip \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.adaptive.skewJoin.enabled=true \
+      --conf spark.sql.shuffle.partitions=<2-3x total executor cores> \
+      scripts/run_pipeline.py \
+      --pages <iceberg-table-or-parquet-path> \
+      --out <warehouse-path> --run-id <id> [--resume]
+
+Packaging: `cd /root/repo && zip -r kgspark.zip
+agenticknowledgegraphconstructionsystem_spark` — the package must reach the
+executors because the Arrow UDFs import `semantics` there (the
+byte-identical-extraction contract depends on driver and executors running
+the same pure function).
+
+Locally (this sandbox): `python scripts/run_pipeline.py --n-docs 200 --out /tmp/kg_out`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages table path (parquet); omit to synthesize")
+    ap.add_argument("--n-docs", type=int, default=200, help="synthetic corpus size")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--no-link", action="store_true")
+    ap.add_argument("--report", help="write validation-results.json here")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import Pipeline
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        PAGES_SCHEMA,
+        synthetic_pages,
+    )
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if args.pages:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.pages)
+    else:
+        pages = synthetic_pages(spark, args.n_docs)
+    p = Pipeline(spark, args.out, run_id=args.run_id, link=not args.no_link)
+    res = p.run(pages)
+    counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
+    if args.report:
+        p.export_report(args.report)
+    print(json.dumps({"run_id": args.run_id, "recomputed_stages": p._recomputed, **counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

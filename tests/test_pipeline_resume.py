@@ -44,6 +44,24 @@ def test_resume_after_kill(spark, tmp_path):
     assert all(r["status"] == "success" and r["output_rows"] > 0 for r in lin)
 
 
+def test_export_report(spark, tmp_path):
+    import json
+
+    pages = synthetic_pages(spark, 60)
+    p = Pipeline(spark, str(tmp_path / "kg3"), run_id="rep")
+    p.run(pages)
+    report = p.export_report(str(tmp_path / "validation-results.json"))
+    with open(tmp_path / "validation-results.json") as f:
+        on_disk = json.load(f)
+    assert on_disk == report
+    assert report["totals"]["entities"] > 0
+    assert report["totals"]["problematic_items"] == len(report["items"])
+    assert all(i["issues"] for i in report["items"])  # only problematic items
+    # deterministic: exporting again yields identical bytes
+    report2 = p.export_report(str(tmp_path / "v2.json"))
+    assert report == report2
+
+
 def test_noop_rerun_recomputes_nothing(spark, tmp_path):
     pages = synthetic_pages(spark, 40)
     Pipeline(spark, str(tmp_path / "kg2"), run_id="a").run(pages)
