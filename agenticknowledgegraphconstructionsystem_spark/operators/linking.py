@@ -81,6 +81,44 @@ def candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_cosine_edges(
+    entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
+) -> DataFrame:
+    """→ (name_a, name_b, cosine): MinHash-LSH blocking + TF-IDF cosine
+    scoring over char-3gram shingles (the north_star's scoring function).
+
+    idf = ln(N / df) per shingle; each name's vector is its distinct
+    shingles weighted by idf (tf = 1 after array_distinct).  Cosine is
+    computed only on the LSH candidate pairs via a shared-shingle join —
+    the full vector space never materializes pairwise.
+    """
+    sh = name_shingles(entities)
+    n_names = sh.select("name").distinct().count()
+    idf = sh.groupBy("shingle").agg(
+        F.log(F.lit(float(n_names)) / F.count("*")).alias("idf")
+    )
+    vec = sh.join(idf, "shingle")  # (name, shingle, idf); tf == 1
+    norms = vec.groupBy("name").agg(
+        F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("norm")
+    )
+    cand = candidate_pairs(minhash_signatures(sh, num_hashes))
+    va = vec.select(F.col("name").alias("name_a"), "shingle", F.col("idf").alias("idf_a"))
+    vb = vec.select(F.col("name").alias("nb"), F.col("shingle").alias("shingle_b"), F.col("idf").alias("idf_b"))
+    dots = (
+        cand.join(va, "name_a")
+        .join(vb, (F.col("name_b") == F.col("nb")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("name_a", "name_b")
+        .agg(F.sum(F.col("idf_a") * F.col("idf_b")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("name").alias("name_a"), F.col("norm").alias("norm_a")), "name_a")
+        .join(norms.select(F.col("name").alias("name_b"), F.col("norm").alias("norm_b")), "name_b")
+        .withColumn("cosine", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("name_a", "name_b", "cosine")
+    )
+
+
 def similarity_edges(
     entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
 ) -> DataFrame:
@@ -134,11 +172,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     sym = sym.localCheckpoint()
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.name)
-            .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
+        # explicit salting + two-phase min per north_rule: a hot (high-
+        # degree) vertex's incoming labels first reduce within
+        # (dst, hash(src) % 16) groups, then across salts — min() already
+        # partial-aggregates map-side, so this is belt-and-braces for the
+        # pathological case where one dst dominates a shuffle partition
+        salted = sym.join(labels, sym.src == labels.name).withColumn(
+            "salt", F.pmod(F.xxhash64("src"), F.lit(16))
         )
+        partial = salted.groupBy("dst", "salt").agg(
+            F.min("component").alias("pmin")
+        )
+        neighbor_min = partial.groupBy("dst").agg(F.min("pmin").alias("nbr_min"))
         new_labels = (
             labels.join(neighbor_min, labels.name == neighbor_min.dst, "left")
             .select(
@@ -161,11 +206,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def canonicalize(entities: DataFrame, threshold: float = 0.5) -> DataFrame:
+def canonicalize(
+    entities: DataFrame, threshold: float = 0.5, scorer: str = "jaccard"
+) -> DataFrame:
     """→ (name, canonical_name, component).  Canonical member = highest
     mention_count, tie-break lexicographically smallest name.  Singleton
-    entities map to themselves."""
-    edges = similarity_edges(entities, threshold)
+    entities map to themselves.  scorer: 'jaccard' (exact set overlap) or
+    'tfidf_cosine' (idf-weighted, favors matches on rare shingles)."""
+    if scorer == "tfidf_cosine":
+        edges = tfidf_cosine_edges(entities, threshold).withColumnRenamed(
+            "cosine", "jaccard"
+        )
+    else:
+        edges = similarity_edges(entities, threshold)
     comp = connected_components(edges)
     members = entities.join(comp, "name", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.xxhash64("name"))

@@ -141,6 +141,30 @@ class Pipeline:
         self._lineage_rows(name, out, input_rows, int((time.time() - t0) * 1000))
         return out
 
+    # -- per-doc incremental ingest (D8 at row granularity) ---------------
+    def ingest_increment(self, pages: DataFrame) -> DataFrame:
+        """database.ts:66-81 semantics lifted to sets: extract ONLY pages
+        whose url has no committed extract output (J7 anti-join), append,
+        and invalidate downstream stage commits so the next run() rebuilds
+        them from the enlarged docs table.  Returns the newly-extracted
+        rows."""
+        from ..sources.io import resume_inputs
+
+        if not self.store.is_committed("extract"):
+            new_docs = extract_docs(pages)
+            self.store.commit("extract", new_docs, self.run_id)
+            return self.store.read("extract")
+        committed = self.store.read("extract")
+        todo = resume_inputs(pages, committed, "url")
+        new_docs = extract_docs(todo)
+        new_docs.write.mode("append").parquet(
+            f"{self.store.base_dir}/extract"
+        )
+        for stage in STAGES:
+            if stage != "extract":
+                self.store.uncommit(stage)
+        return new_docs
+
     # -- the pipeline ----------------------------------------------------
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         docs = self._stage("extract", lambda: extract_docs(pages))
