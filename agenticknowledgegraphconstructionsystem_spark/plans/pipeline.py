@@ -92,6 +92,15 @@ class Pipeline:
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.store.base_dir}/_lineage")
 
+    def export_summary_csv(self, path: str) -> None:
+        """S6 (fetch_citing_papers.py:65-82): entity summary as CSV.  The
+        reference hand-escapes commas; df.write.csv quotes properly."""
+        self._results["entities"].select(
+            "name", "concept_type", "mention_count", "max_relevance_pct"
+        ).orderBy(F.desc("mention_count"), F.asc("name")).coalesce(1).write.mode(
+            "overwrite"
+        ).csv(path, header=True)
+
     def export_report(self, path: str) -> dict:
         """S12 (run-validation.ts:186-228): JSON report of only the
         problematic items + summary counts.  The findings table is tiny

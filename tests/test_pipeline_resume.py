@@ -60,6 +60,15 @@ def test_export_report(spark, tmp_path):
     # deterministic: exporting again yields identical bytes
     report2 = p.export_report(str(tmp_path / "v2.json"))
     assert report == report2
+    # S6 CSV summary sink
+    p.export_summary_csv(str(tmp_path / "summary_csv"))
+    import glob
+
+    csvs = glob.glob(str(tmp_path / "summary_csv" / "*.csv"))
+    assert len(csvs) == 1
+    lines = open(csvs[0]).read().splitlines()
+    assert lines[0] == "name,concept_type,mention_count,max_relevance_pct"
+    assert len(lines) > 1
 
 
 def test_noop_rerun_recomputes_nothing(spark, tmp_path):
