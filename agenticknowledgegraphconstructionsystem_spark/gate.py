@@ -244,8 +244,73 @@ def q_open_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10/D11 — entity linking + canonicalization (the rebuild's
+    north-star feature; reference wish-list README.md:1442-1444 "Merge
+    'NeRF' and 'Neural Radiance Fields'").  Gate path: exact shared-shingle
+    blocking (recall exactly 1, still join-blocked) + exact char-3gram
+    Jaccard >= 0.5 + connected components + highest-mention_count /
+    smallest-name canonical election; the DuckDB oracle replays the
+    identical edges and components via WITH RECURSIVE min-label walk.  The
+    LSH blocking path is pinned separately by brute-force parity pytest."""
+    from .operators.linking import canonicalize
+
+    ents = build_entities(_mentions(spark, sf_dir))
+    mapping = canonicalize(
+        ents.select("name", "mention_count"), threshold=0.5, blocking="exact"
+    )
+    return mapping.select("name", "canonical_name")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 MERGE/upsert (database_utils.py:109-113 ``INSERT ... ON CONFLICT
+    (url) DO UPDATE``): a v2 batch (doc_id % 3 == 0, n_chars bumped) merged
+    into a v1 table (doc_id % 2 == 0) through merge_by_key — matched keys
+    take the incoming row, unmatched keep the current row, new keys
+    insert."""
+    from .sources.io import merge_by_key
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    cur = d.where(F.col("doc_id") % 2 == 0).withColumn("version", F.lit(1))
+    inc = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    m = merge_by_key(cur, inc, ["doc_id"], "version")
+    return m.select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "source",
+        F.col("n_chars").cast(_BIG).alias("n_chars"),
+        F.col("version").cast(_BIG).alias("version"),
+    )
+
+
+def q_pairwise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise J3 (db_init.py:240-252 generalized): shared-concept
+    bucket stats for every doc pair, df-cap disabled so the oracle is the
+    plain exact self-join (the cap path is pinned by the skew pytest)."""
+    from .operators.relationships import pairwise_shared_concepts
+
+    m = _mentions(spark, sf_dir)
+    p = pairwise_shared_concepts(m, max_df_frac=1.0, max_df_min=0)
+    return p.select(
+        F.col("url_a").cast(_BIG).alias("doc_a"),
+        F.col("url_b").cast(_BIG).alias("doc_b"),
+        F.col("n_shared").cast(_BIG).alias("n_shared"),
+        F.col("hi").cast(_BIG).alias("hi"),
+        F.col("med").cast(_BIG).alias("med"),
+        F.col("lo").cast(_BIG).alias("lo"),
+    )
+
+
 KG_QUERIES = {
     "kg_open_triples": q_open_triples,
+    "kg_canonicalize": q_canonicalize,
+    "kg_merge_upsert": q_merge_upsert,
+    "kg_pairwise_shared": q_pairwise_shared,
     "kg_mentions": q_mentions,
     "kg_entities": q_entities,
     "kg_top_concepts": q_top_concepts,

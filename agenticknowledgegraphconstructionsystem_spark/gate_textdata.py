@@ -88,7 +88,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 O_NGRAM_JACCARD = """
 WITH w AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents WHERE text IS NOT NULL
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words FROM documents WHERE text IS NOT NULL
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
@@ -265,26 +265,305 @@ FROM ranked WHERE rank <= 5"""
 
 
 # ---------------------------------------------------------------------------
-# rows-only (non-SQL-expressible: hash functions differ across engines)
+# LSH suites — fully oracled via the portable poly/affine hash family
+# (semantics.POLY_P arithmetic renders identically in Spark Columns and
+# DuckDB SQL) and, for RHP, via plane literals inlined into both engines.
 # ---------------------------------------------------------------------------
+
+from . import semantics as S  # noqa: E402  (oracle builders render its constants)
+
+#: td_minhash_dups gate parameters (Spark call + oracle SQL share these)
+MINHASH_GATE = dict(n=3, num_hashes=32, bands=16, threshold=0.3, max_bucket=10_000)
+#: td_rhp_ann_topk / td_emb_near_dup gate parameters
+RHP_GATE = dict(dim=64, num_planes=16, bands=4, seed=7)
+EMB_NEAR_DUP_THRESHOLD = 0.95
+EMB_PERTURB_N = 25  # perturbed near-dup twins injected for vec_id < N
+EMB_PERTURB_ID_OFFSET = 100_000
+
+
+def _sql_poly(expr: str) -> str:
+    """DuckDB rendering of semantics.poly_hash(expr)."""
+    return (
+        f"list_reduce(list_prepend(CAST({S.POLY_SEED0} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {S.POLY_BASE} + c) % {S.POLY_P})"
+    )
+
+
+def _sql_affine(h: str, a: int, b: int) -> str:
+    return f"(({a} * {h} + {b}) % {S.POLY_P})"
+
 
 def q_minhash_dups(spark, sf_dir):
     from .operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_docs(spark, sf_dir), n=3, threshold=0.3)
+    g = MINHASH_GATE
+    pairs = minhash_near_duplicates(
+        _docs(spark, sf_dir),
+        n=g["n"],
+        num_hashes=g["num_hashes"],
+        bands=g["bands"],
+        threshold=g["threshold"],
+        max_bucket=g["max_bucket"],
+    )
+    return pairs.select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.col("inter").cast(_BIG).alias("inter"),
+        F.col("sz_a").cast(_BIG).alias("sz_a"),
+        F.col("sz_b").cast(_BIG).alias("sz_b"),
+    )
+
+
+def _o_minhash_dups() -> str:
+    from fractions import Fraction
+
+    g = MINHASH_GATE
+    rpb = g["num_hashes"] // g["bands"]
+    fr = Fraction(str(g["threshold"]))
+    mins = ",\n         ".join(
+        f"MIN({_sql_affine('h', S.MINHASH_A[k], S.MINHASH_B[k])}) AS h{k}"
+        for k in range(g["num_hashes"])
+    )
+    band_case = " ".join(
+        f"WHEN {b} THEN "
+        + (f"h{b * rpb} * {S.POLY_P} + h{b * rpb + 1}" if rpb == 2 else f"h{b * rpb}")
+        for b in range(g["bands"])
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+{g["n"] - 1}], ' ') AS shingle
+  FROM w, unnest(range(1, greatest(len(words) - {g["n"] - 1}, 1) + 1)) AS t(i)
+),
+shn AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+hs AS (SELECT doc_id, {_sql_poly('shingle')} AS h FROM shn),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM hs GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, t.b AS band_id, CASE t.b {band_case} END AS band_hash
+  FROM sig, unnest(range(0, {g["bands"]})) AS t(b)
+),
+capped AS (
+  SELECT doc_id, band_id, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM banded)
+  WHERE bsz <= {g["max_bucket"]}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shn a ON a.doc_id = c.id_a
+  JOIN shn b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * {fr.denominator} >= {fr.numerator} * (sa.sz + sb.sz - inter)"""
 
 
 def q_simhash_sigs(spark, sf_dir):
     from .operators.dedup import simhash_signatures
 
-    return simhash_signatures(_docs(spark, sf_dir))
+    return simhash_signatures(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        F.col("simhash").cast(_BIG).alias("simhash"),
+    )
+
+
+def _o_simhash_sigs() -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN {_sql_affine('h', S.SIMHASH_A[k], S.SIMHASH_B[k])} * 2 >= {S.POLY_P} "
+        f"THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(S.NUM_SIMHASH_BITS)
+    )
+    pack_terms = [
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    ]
+    # bit 63 is the sign bit: add -(2^63) last so partial sums stay in range
+    pack = (
+        " + ".join(pack_terms)
+        + " + (CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE CAST(0 AS BIGINT) END)"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (SELECT doc_id, unnest(words) AS tok FROM w),
+tokf AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+hs AS (SELECT doc_id, {_sql_poly('tok')} AS h FROM tokf),
+votes AS (SELECT doc_id,
+         {votes}
+        FROM hs GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {pack} AS simhash
+FROM votes"""
+
+
+def _sql_dot(vexpr: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(float(x)) for x in plane)
+    return (
+        f"list_reduce(list_transform(list_zip({vexpr}, [{lits}]), x -> x[1] * x[2]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(vexpr: str) -> str:
+    return f"sqrt(list_reduce(list_transform({vexpr}, x -> x * x), (acc, x) -> acc + x))"
+
+
+def _sql_rhp_bits_and_bands(vexpr: str) -> tuple[str, str]:
+    """→ (bit column SQL, band CASE SQL) for the RHP_GATE plane set."""
+    planes = S.rhp_planes(RHP_GATE["dim"], RHP_GATE["num_planes"], RHP_GATE["seed"])
+    bits = ",\n         ".join(
+        f"(CASE WHEN {_sql_dot(vexpr, p)} >= 0 THEN 1 ELSE 0 END) AS bit{j}"
+        for j, p in enumerate(planes)
+    )
+    rpb = RHP_GATE["num_planes"] // RHP_GATE["bands"]
+    band_case = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" + ".join(f"{1 << r} * bit{b * rpb + r}" for r in range(rpb)),
+        )
+        for b in range(RHP_GATE["bands"])
+    )
+    return bits, band_case
 
 
 def q_rhp_ann(spark, sf_dir):
     from .operators.similarity import rhp_ann_topk
 
     emb = _emb(spark, sf_dir)
-    return rhp_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5)
+    t = rhp_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5, **RHP_GATE)
+    return t.select(
+        F.col("query_id").cast(_BIG).alias("query_id"),
+        F.col("neighbor_id").cast(_BIG).alias("neighbor_id"),
+        F.floor(F.col("cosine") * 1e9).cast(_BIG).alias("cos_e9"),
+        F.col("rank").cast(_BIG).alias("rank"),
+    )
+
+
+def _o_rhp_ann() -> str:
+    bits, band_case = _sql_rhp_bits_and_bands("v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id,
+         {bits}
+        FROM e),
+banded AS (
+  SELECT vec_id, t.b AS band_id, CASE t.b {band_case} END AS band_val
+  FROM sig, unnest(range(0, {RHP_GATE["bands"]})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded c
+  JOIN banded q ON c.band_id = q.band_id AND c.band_val = q.band_val
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_reduce(list_transform(list_zip(eq.v, ec.v), x -> x[1] * x[2]), (acc, x) -> acc + x)
+         / ({_sql_norm("eq.v")} * {_sql_norm("ec.v")}) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.query_id
+  JOIN e ec ON ec.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+def _augmented_embeddings(spark, sf_dir):
+    """Embeddings ∪ perturbed twins (v·1.01 + 0.01, elementwise double
+    arithmetic — identical in both engines) for vec_id < EMB_PERTURB_N:
+    the synthetic corpus has no natural near-dup pairs (max pairwise cosine
+    ≈ 0.51), so the gate injects deterministic ones — same seeding
+    precedent as kg_open_triples."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.where(F.col("vec_id") < EMB_PERTURB_N).select(
+        (F.col("vec_id") + EMB_PERTURB_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(1.01) + F.lit(0.01)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def q_emb_near_dup(spark, sf_dir):
+    from .operators.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(
+        _augmented_embeddings(spark, sf_dir),
+        threshold=EMB_NEAR_DUP_THRESHOLD,
+        max_bucket=10_000,
+        **RHP_GATE,
+    )
+    return pairs.select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.floor(F.col("cosine") * 1e9).cast(_BIG).alias("cos_e9"),
+    )
+
+
+def _o_emb_near_dup() -> str:
+    bits, band_case = _sql_rhp_bits_and_bands("v")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pert AS (
+  SELECT vec_id + {EMB_PERTURB_ID_OFFSET} AS vec_id,
+         list_transform(v, x -> x * CAST(1.01 AS DOUBLE) + CAST(0.01 AS DOUBLE)) AS v
+  FROM base WHERE vec_id < {EMB_PERTURB_N}
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+sig AS (SELECT vec_id,
+         {bits}
+        FROM e),
+banded AS (
+  SELECT vec_id, t.b AS band_id, CASE t.b {band_case} END AS band_val
+  FROM sig, unnest(range(0, {RHP_GATE["bands"]})) AS t(b)
+),
+capped AS (
+  SELECT vec_id, band_id, band_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bsz FROM banded)
+  WHERE bsz <= 10000
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b USING (band_id, band_val)
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_reduce(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2]), (acc, x) -> acc + x)
+         / ({_sql_norm("ea.v")} * {_sql_norm("eb.v")}) AS cosine
+  FROM pairs
+  JOIN e ea ON ea.vec_id = id_a
+  JOIN e eb ON eb.vec_id = id_b
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9
+FROM scored WHERE cosine >= CAST(0.95 AS DOUBLE)"""
 
 
 TEXT_QUERIES = {
@@ -298,6 +577,7 @@ TEXT_QUERIES = {
     "td_minhash_dups": q_minhash_dups,
     "td_simhash_sigs": q_simhash_sigs,
     "td_rhp_ann_topk": q_rhp_ann,
+    "td_emb_near_dup": q_emb_near_dup,
 }
 
 TEXT_ORACLES = {
@@ -308,6 +588,12 @@ TEXT_ORACLES = {
     "td_token_count": O_TOKEN_COUNT,
     "td_fingerprint": O_FINGERPRINT,
     "td_ann_cosine_topk": O_ANN_COSINE,
-    # td_minhash_dups / td_simhash_sigs / td_rhp_ann_topk: engine-specific
-    # hashing (xxhash64 seeds / RHP planes) → rows-only checks by design
+    # LSH suites: oracled via the portable poly/affine hash family and
+    # inlined RHP plane literals — the ENTIRE pipeline (signatures, band
+    # buckets, bucket cap, candidate pairs, verify) is replicated in SQL,
+    # so the hash compare pins candidate generation, not just the verdict
+    "td_minhash_dups": _o_minhash_dups(),
+    "td_simhash_sigs": _o_simhash_sigs(),
+    "td_rhp_ann_topk": _o_rhp_ann(),
+    "td_emb_near_dup": _o_emb_near_dup(),
 }

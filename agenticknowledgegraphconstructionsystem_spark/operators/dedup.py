@@ -8,15 +8,43 @@ Scale notes (10^12 docs):
 * exact: one shuffle on a 128-bit content hash — perfectly balanced keys.
 * MinHash-LSH: cost is O(docs × K) map-side + a shuffle on band hashes;
   candidate verification touches only colliding pairs.  Band count / rows
-  per band tune the recall/cost curve.
+  per band tune the recall/cost curve.  Degenerate (hot) band buckets are
+  capped before pairing — a bucket of B members would otherwise emit B²
+  candidate rows (the one quadratic residue at 100× scale); see
+  :func:`capped_band_pairs`.
 * SimHash: one pass building a 64-bit signature (map-side), pairs via
   banded prefix blocking + popcount(XOR) <= k verify.
+
+Hashing is the portable poly/affine family from :mod:`..semantics`
+(cross-engine exact), so every signature and candidate set here is
+reproducible in DuckDB SQL — the driver's correctness gate hash-compares
+them (gate_textdata.py oracles).  Thresholds are applied as exact integer
+cross-multiplication (semantics.threshold_fraction), never float compares.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..functions.hashing import minhash_col, poly_hash_col, simhash_vote_col
+
+#: default LSH band-bucket cap — buckets above this emit no candidate pairs
+#: (they are non-discriminative and quadratic); far above anything the
+#: test scales produce, so correctness gates are unaffected.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact (numerator, denominator) of the decimal the caller wrote —
+    Fraction(str(0.3)) == 3/10, so `jaccard >= threshold` becomes the
+    integer test `den·inter >= num·union` identically in Spark, DuckDB and
+    Python (no float boundary drift)."""
+    fr = Fraction(str(threshold))
+    return fr.numerator, fr.denominator
 
 
 def exact_duplicates(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,6 +76,94 @@ def word_ngram_shingles(
     )
 
 
+def capped_band_pairs(
+    banded: DataFrame,
+    key: str,
+    max_bucket: int | None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """LSH blocking self-join with a hot-bucket cap.
+
+    ``banded`` must carry (key, band_id, band_hash).  Buckets with more
+    than ``max_bucket`` members are excluded from pairing: a bucket of B
+    members emits B² candidate rows, so one degenerate bucket (e.g.
+    thousands of short texts sharing a band value) would dominate the whole
+    job at corpus scale while contributing no discriminative signal — the
+    same df-cap rationale as pairwise_shared_concepts.  The cap is a
+    window count over (band_id, band_hash): one extra hash-aggregate, no
+    extra scan of the raw text.  Recall note: a true near-dup pair inside
+    a dropped bucket is still found via any of its OTHER bands (banding is
+    redundant by construction); use :func:`dropped_band_buckets` on the
+    same ``banded`` DF to audit what the cap removed — dropping is never
+    silent, it is observable from the same lineage.
+    """
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bucket_sz")
+        )
+        banded = (
+            banded.join(sizes, ["band_id", "band_hash"])
+            .where(F.col("_bucket_sz") <= max_bucket)
+            .drop("_bucket_sz")
+        )
+    a = banded.select(F.col(key).alias(id_a), "band_id", "band_hash")
+    b = banded.select(F.col(key).alias(id_b), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col(id_a) < F.col(id_b))
+        .select(id_a, id_b)
+        .distinct()
+    )
+
+
+def dropped_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Audit view for :func:`capped_band_pairs`: the (band_id, band_hash,
+    n_members) buckets the cap excluded.  Callers log/persist this next to
+    the dedup output so truncation is never silent."""
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket)
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame, sh: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification on candidate pairs only: shared-shingle
+    count per pair, integer cross-multiplication threshold, plus the float
+    jaccard for consumers (exact IEEE division of two ints — identical in
+    every engine)."""
+    num, den = _threshold_fraction(threshold)
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col(key).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(key).alias("idb2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("idb2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(F.col("inter") * den >= F.lit(num) * union)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            (F.col("inter") / union).alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     key: str = "doc_id",
@@ -62,6 +178,7 @@ def ngram_jaccard_pairs(
     sharing no shingle never materialize — the join on shingle is the
     blocker.
     """
+    num, den = _threshold_fraction(threshold)
     sh = word_ngram_shingles(docs, key, text_col, n)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(key).alias("id_a"), "shingle")
@@ -72,13 +189,57 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .where(F.col("inter") * den >= F.lit(num) * union)
+        .select(
+            "id_a", "id_b", "inter", "sz_a", "sz_b",
+            (F.col("inter") / union).alias("jaccard"),
+        )
     )
+
+
+def minhash_banded_signatures(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (shingles, banded): per-doc MinHash signature exploded to one row
+    per band, using the portable poly/affine hash family.
+
+    Per (doc, shingle): one char-fold poly_hash, then ``num_hashes`` affine
+    permutations reduced by min() — a single map-side-combinable
+    aggregation (cheaper than one full hash per seed).  Band value packs
+    its rows base-P (rows_per_band <= 2 keeps it in 63 bits).  Empty
+    shingles are excluded (engines disagree on hashing '').
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    assert rows_per_band <= 2, "band packing is base-P in a 63-bit long"
+    assert num_hashes <= S.NUM_MINHASHES
+    sh = word_ngram_shingles(docs, key, text_col, n).where(F.col("shingle") != "")
+    hs = sh.select(F.col(key), poly_hash_col(F.col("shingle")).alias("h"))
+    sig = hs.groupBy(key).agg(
+        *[
+            F.min(minhash_col(F.col("h"), k)).alias(f"h{k}")
+            for k in range(num_hashes)
+        ]
+    )
+
+    def band_val(b: int):
+        v = F.col(f"h{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            v = v * F.lit(S.POLY_P) + F.col(f"h{b * rows_per_band + r}")
+        return v
+
+    band_arr = F.array(*[band_val(b) for b in range(bands)])
+    banded = sig.select(F.col(key), F.posexplode(band_arr).alias("band_id", "band_hash"))
+    return sh, banded
 
 
 def minhash_near_duplicates(
@@ -89,74 +250,39 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection (shingle → minhash → band →
-    bucket-join → exact-Jaccard verify)."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sh = word_ngram_shingles(docs, key, text_col, n)
-    sig = sh.groupBy(key).agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
-            for seed in range(num_hashes)
-        ]
-    )
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(key), F.posexplode(band_arr).alias("band_id", "band_hash"))
-    a = banded.select(F.col(key).alias("id_a"), "band_id", "band_hash")
-    b = banded.select(F.col(key).alias("id_b"), "band_id", "band_hash")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # verify candidates with exact jaccard
-    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
-    sh_a = sh.select(F.col(key).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(key).alias("idb2"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(
-            sh_b,
-            (F.col("id_b") == F.col("idb2")) & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    capped bucket-join → exact-Jaccard verify).
+
+    Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — integer evidence
+    columns make the result oracle-checkable without float compares.
+    """
+    sh, banded = minhash_banded_signatures(docs, key, text_col, n, num_hashes, bands)
+    cand = capped_band_pairs(banded, key, max_bucket)
+    return _jaccard_verify(cand, sh, key, threshold)
 
 
 def simhash_signatures(
     docs: DataFrame, key: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash over whitespace tokens, fully native: explode tokens,
-    per-bit +/-1 vote, sign → bit.  One wide aggregation, map-side
-    combinable."""
-    tok = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(key), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
-    ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    votes = tok.groupBy(key).agg(
+    one poly_hash per token, per-bit +/-1 affine vote, sign → bit.  One
+    wide aggregation, map-side combinable; term frequency is respected
+    (duplicate tokens vote once each)."""
+    tok = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(key),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    hs = tok.select(F.col(key), poly_hash_col(F.col("tok")).alias("h"))
+    votes = hs.groupBy(key).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+            F.sum(simhash_vote_col(F.col("h"), i)).alias(f"b{i}")
+            for i in range(S.NUM_SIMHASH_BITS)
         ]
     )
     sig = None
@@ -170,10 +296,15 @@ def simhash_signatures(
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, key: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= k via 4x16-bit band blocking
-    (any pair within Hamming 3 shares at least one exact 16-bit quarter)."""
+    (any pair within Hamming 3 shares at least one exact 16-bit quarter);
+    hot 16-bit buckets are capped exactly like the MinHash bands."""
     sig = simhash_signatures(docs, key, text_col)
     quarters = F.array(
         *[
@@ -184,14 +315,18 @@ def simhash_near_duplicates(
         ]
     )
     banded = sig.select(
-        F.col(key), F.col("simhash"), F.posexplode(quarters).alias("band_id", "band_val")
+        F.col(key), F.col("simhash"), F.posexplode(quarters).alias("band_id", "band_hash")
     )
-    a = banded.select(F.col(key).alias("id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_val")
-    b = banded.select(F.col(key).alias("id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_val")
+    pairs = capped_band_pairs(banded, key, max_bucket)
+    sig_a = sig.select(F.col(key).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sig_b = sig.select(F.col(key).alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
-        .distinct()
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
     )

@@ -65,19 +65,23 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
-def candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """LSH blocking: names sharing any (band_id, band_hash) bucket."""
-    a = signatures.alias("a")
-    b = signatures.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
-        .distinct()
+def candidate_pairs(
+    signatures: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """LSH blocking: names sharing any (band_id, band_hash) bucket.
+
+    ``max_bucket`` (default: dedup.DEFAULT_MAX_BUCKET) caps degenerate
+    buckets — e.g. thousands of short names landing in one minhash band
+    would emit |bucket|² candidate rows before the verify step; capping
+    keeps the pair space linear in the bucket cap while the redundant
+    bands preserve recall (see dedup.capped_band_pairs for the audit
+    path)."""
+    from .dedup import DEFAULT_MAX_BUCKET, capped_band_pairs
+
+    if max_bucket is None:
+        max_bucket = DEFAULT_MAX_BUCKET
+    return capped_band_pairs(
+        signatures, "name", max_bucket, id_a="name_a", id_b="name_b"
     )
 
 
@@ -120,13 +124,34 @@ def tfidf_cosine_edges(
 
 
 def similarity_edges(
-    entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
+    entities: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    blocking: str = "lsh",
 ) -> DataFrame:
     """→ (name_a, name_b, jaccard) for candidate pairs with exact char-3gram
-    Jaccard >= threshold."""
+    Jaccard >= threshold.
+
+    blocking='lsh' (default): MinHash-band candidates — probabilistic
+    recall (miss prob (1-j)^num_hashes), bucket-capped, the corpus-scale
+    path.  blocking='exact': candidates = every pair sharing >= 1 shingle
+    (any pair with j > 0 shares one, so recall is exactly 1) — the
+    oracle-checkable path; still join-blocked, never all-pairs, and the
+    entity-name universe is vocabulary-sized, so this is also safe at
+    corpus scale."""
     sh = name_shingles(entities)
     sizes = sh.groupBy("name").agg(F.count("*").alias("sz"))
-    cand = candidate_pairs(minhash_signatures(sh, num_hashes))
+    if blocking == "exact":
+        a = sh.select(F.col("name").alias("name_a"), "shingle")
+        b = sh.select(F.col("name").alias("name_b"), F.col("shingle").alias("shingle_x"))
+        cand = (
+            a.join(b, F.col("shingle") == F.col("shingle_x"))
+            .where(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+            .distinct()
+        )
+    else:
+        cand = candidate_pairs(minhash_signatures(sh, num_hashes))
     sh_b = sh.select(
         F.col("name").alias("nb"), F.col("shingle").alias("shingle_b")
     )
@@ -140,14 +165,17 @@ def similarity_edges(
         .groupBy("name_a", "name_b")
         .agg(F.count("*").alias("inter"))
     )
+    # threshold as exact integer cross-multiplication (den·inter >= num·union)
+    # so the DuckDB canonicalization oracle replicates the cut bit-for-bit
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sizes.withColumnsRenamed({"name": "name_a", "sz": "sz_a"}), "name_a")
         .join(sizes.withColumnsRenamed({"name": "name_b", "sz": "sz_b"}), "name_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("inter") * fr.denominator >= F.lit(fr.numerator) * union)
+        .withColumn("jaccard", F.col("inter") / union)
         .select("name_a", "name_b", "jaccard")
     )
 
@@ -203,22 +231,39 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter while labels were still moving: a
+        # component with diameter > max_iter would be returned split
+        # (silent under-merge) — surface it instead of hiding it
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: not converged after %d iterations "
+            "(%d labels still changing); components may be split — "
+            "raise max_iter",
+            max_iter,
+            changed,
+        )
     return labels
 
 
 def canonicalize(
-    entities: DataFrame, threshold: float = 0.5, scorer: str = "jaccard"
+    entities: DataFrame,
+    threshold: float = 0.5,
+    scorer: str = "jaccard",
+    blocking: str = "lsh",
 ) -> DataFrame:
     """→ (name, canonical_name, component).  Canonical member = highest
     mention_count, tie-break lexicographically smallest name.  Singleton
     entities map to themselves.  scorer: 'jaccard' (exact set overlap) or
-    'tfidf_cosine' (idf-weighted, favors matches on rare shingles)."""
+    'tfidf_cosine' (idf-weighted, favors matches on rare shingles);
+    blocking: see :func:`similarity_edges`."""
     if scorer == "tfidf_cosine":
         edges = tfidf_cosine_edges(entities, threshold).withColumnRenamed(
             "cosine", "jaccard"
         )
     else:
-        edges = similarity_edges(entities, threshold)
+        edges = similarity_edges(entities, threshold, blocking=blocking)
     comp = connected_components(edges)
     members = entities.join(comp, "name", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.xxhash64("name"))
@@ -255,4 +300,37 @@ def repoint_mentions(mentions: DataFrame, mapping: DataFrame) -> DataFrame:
         )
         .withColumn("name", F.coalesce(F.col("canonical_name"), F.col("name")))
         .drop("canonical_name")
+    )
+
+
+def dedup_repointed_mentions(mentions: DataFrame) -> DataFrame:
+    """Collapse to one row per (url, name) after canonical re-pointing.
+
+    When two surface forms in the same doc merge (e.g. 'row batch' +
+    'batch'), :func:`repoint_mentions` leaves duplicate (url, name) rows;
+    un-deduplicated they double-count sum_relevance_pct in build_entities
+    and multiplicatively inflate the shared-concept join in relationship
+    discovery.  Keeper = highest relevance_pct, tie-broken earliest pos,
+    then concept_type/context — a single map-side-combinable max(struct)
+    (same best-of pattern as build_doc_concept_edges), never partition
+    order."""
+    best = F.max(
+        F.struct(
+            F.col("relevance_pct").alias("r"),
+            (-F.col("pos")).alias("negpos"),
+            F.col("concept_type").alias("ct"),
+            F.col("context").alias("cx"),
+        )
+    ).alias("b")
+    return (
+        mentions.groupBy("url", "name")
+        .agg(best)
+        .select(
+            "url",
+            "name",
+            F.col("b.ct").alias("concept_type"),
+            F.col("b.r").alias("relevance_pct"),
+            (-F.col("b.negpos")).cast("int").alias("pos"),
+            F.col("b.cx").alias("context"),
+        )
     )

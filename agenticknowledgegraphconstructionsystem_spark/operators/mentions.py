@@ -55,6 +55,14 @@ def detect_mentions_native(
     (EXTRACT_TRUNCATE_CHARS, entity-extraction-agent.ts:45-46); first
     occurrence position + non-overlapping occurrence count drive the
     deterministic relevance rubric (semantics.relevance_pct).
+
+    Scale crossover: the gazetteer is exploded as a literal array per doc —
+    O(docs × |gazetteer|) intermediate rows, zero shuffle, stays in
+    whole-stage codegen.  That is the right plan while the gazetteer fits a
+    task's literal budget (up to ~10^3-10^4 terms); past that, switch to
+    :func:`detect_mentions_arrow` — same output, parity-tested, no exploded
+    intermediate rows, and its Python scan can be swapped for an
+    Aho-Corasick pass without touching the plan shape.
     """
     t = F.substring(F.col(text_col), 1, S.EXTRACT_TRUNCATE_CHARS)
     gaz = F.array(

@@ -5,18 +5,25 @@
   ``F.zip_with`` + ``F.aggregate``, JVM-side); top-k per query is a window
   ``row_number() <= k`` (TakeOrdered per query key, no global sort).
 * :func:`rhp_ann_topk` — the scale path: random-hyperplane LSH.  Signatures
-  are deterministic (hyperplanes from a seeded PRNG, shipped as literal
-  arrays); candidates = corpus rows sharing a signature band with the
-  query; exact cosine re-rank on candidates only.  At 10^12 rows the band
-  join replaces the full scan with a bucket-local probe.
+  are deterministic (hyperplanes from ``semantics.rhp_planes``, a seeded
+  PRNG rendered as the SAME float literals into the Spark plan and the
+  DuckDB oracle SQL); candidates = corpus rows sharing a signature band
+  with the query; exact cosine re-rank on candidates only.  At 10^12 rows
+  the band join replaces the full scan with a bucket-local probe.
+* :func:`embedding_near_duplicates` — corpus-self near-dup pairs through
+  the same RHP banding; the band self-join carries only (id, band) — the
+  64-double vectors are joined back onto the *surviving candidate pairs*,
+  never shipped through the band shuffle — and hot buckets are capped
+  (see dedup.capped_band_pairs).
 """
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .. import semantics as S
+from .dedup import DEFAULT_MAX_BUCKET, capped_band_pairs
 
 
 def _dot(a, b):
@@ -72,11 +79,6 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
-    rng = random.Random(seed)
-    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-
-
 def rhp_signature_col(vec_col, planes: list[list[float]]):
     """Signature bits packed into a long: bit i = sign(v · plane_i)."""
     sig = F.lit(0).cast("long")
@@ -87,6 +89,16 @@ def rhp_signature_col(vec_col, planes: list[list[float]]):
         )
         sig = sig + bit.cast("long") * F.lit(1 << i).cast("long")
     return sig
+
+
+def _band_arr(sig, num_planes: int, bands: int):
+    rpb = num_planes // bands
+    return F.array(
+        *[
+            F.shiftrightunsigned(sig, b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
+            for b in range(bands)
+        ]
+    )
 
 
 def rhp_ann_topk(
@@ -101,17 +113,12 @@ def rhp_ann_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures, banded blocking,
-    exact cosine re-rank on candidates."""
+    exact cosine re-rank on candidates.  The query side is broadcast, so
+    the band probe is map-side (no shuffle on the corpus scan)."""
     assert num_planes % bands == 0
-    rpb = num_planes // bands
-    planes = _hyperplanes(dim, num_planes, seed)
+    planes = S.rhp_planes(dim, num_planes, seed)
     sig = rhp_signature_col(vec_col, planes)
-    band_arr = F.array(
-        *[
-            F.shiftrightunsigned(sig, b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
-            for b in range(bands)
-        ]
-    )
+    band_arr = _band_arr(sig, num_planes, bands)
 
     def with_bands(df, id_alias, vec_alias):
         return df.select(
@@ -151,28 +158,34 @@ def embedding_near_duplicates(
     num_planes: int = 16,
     bands: int = 4,
     dim: int = 64,
+    seed: int = 7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via the same RHP blocking."""
-    planes = _hyperplanes(dim, num_planes)
-    rpb = num_planes // bands
+    """Embedding-cosine near-dup pairs via RHP banding.
+
+    → (id_a, id_b, cosine) for candidate pairs with cosine >= threshold.
+    Shuffle discipline: the band self-join moves only (id, band_id,
+    band_val) rows; vectors are joined back per surviving pair.  Hot band
+    buckets are capped (a bucket of B members is B² pairs — see
+    dedup.capped_band_pairs for the audit path).
+    """
+    assert num_planes % bands == 0
+    planes = S.rhp_planes(dim, num_planes, seed)
     sig = rhp_signature_col(vec_col, planes)
-    band_arr = F.array(
-        *[
-            F.shiftrightunsigned(sig, b * rpb).bitwiseAND(F.lit((1 << rpb) - 1))
-            for b in range(bands)
-        ]
-    )
+    band_arr = _band_arr(sig, num_planes, bands)
     banded = corpus.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.posexplode(band_arr).alias("band_id", "band_val"),
+        F.posexplode(band_arr).alias("band_id", "band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "band_id", "band_val")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "band_id", "band_val")
+    pairs = capped_band_pairs(banded, id_col, max_bucket)
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

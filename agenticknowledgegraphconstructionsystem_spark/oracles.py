@@ -344,6 +344,95 @@ FROM documents""",
 
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
 
+
+def canonicalize_sql() -> str:
+    """D10/D11 oracle: char-3gram shingles of entity names, exact Jaccard
+    >= 1/2 edges (integer cross-multiplication), connected components via a
+    WITH RECURSIVE min-label walk (walk(n, ·) = labels reachable from n;
+    component root = MIN over the walk), canonical member = highest
+    mention_count then smallest name."""
+    kg = ",".join([mentions_cte(), entities_cte()])
+    return f"""WITH RECURSIVE {kg},
+names AS (SELECT name, mention_count FROM entities),
+padded AS (SELECT name, ' ' || lower(trim(name)) || ' ' AS p FROM names),
+nsh AS (
+  SELECT DISTINCT name, substr(p, i, 3) AS shingle
+  FROM padded, unnest(range(1, greatest(length(p) - 2, 1) + 1)) AS t(i)
+),
+nsz AS (SELECT name, COUNT(*) AS sz FROM nsh GROUP BY name),
+ninter AS (
+  SELECT a.name AS name_a, b.name AS name_b, COUNT(*) AS inter
+  FROM nsh a JOIN nsh b USING (shingle)
+  WHERE a.name < b.name
+  GROUP BY a.name, b.name
+),
+edges AS (
+  SELECT name_a, name_b FROM ninter
+  JOIN nsz sa ON sa.name = name_a
+  JOIN nsz sb ON sb.name = name_b
+  WHERE inter * 2 >= sa.sz + sb.sz - inter
+),
+sym AS (
+  SELECT name_a AS src, name_b AS dst FROM edges
+  UNION ALL
+  SELECT name_b, name_a FROM edges
+),
+walk(node, lab) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN sym e ON e.src = w.lab
+),
+comp AS (SELECT node AS name, MIN(lab) AS root FROM walk GROUP BY node),
+members AS (
+  SELECT c.name, c.root, n.mention_count FROM comp c JOIN names n USING (name)
+),
+best AS (SELECT root, MAX(mention_count) AS mc FROM members GROUP BY root),
+canon AS (
+  SELECT m.root, MIN(m.name) AS canonical_name
+  FROM members m JOIN best b ON b.root = m.root AND m.mention_count = b.mc
+  GROUP BY m.root
+)
+SELECT m.name, c.canonical_name
+FROM members m JOIN canon c USING (root)"""
+
+
+KG_ORACLES["kg_canonicalize"] = canonicalize_sql()
+
+# S9 upsert (database_utils.py:109-113 ON CONFLICT DO UPDATE): incoming
+# batch wins on matched keys, current rows survive otherwise
+KG_ORACLES["kg_merge_upsert"] = """
+WITH cur AS (
+  SELECT doc_id, source, n_chars, 1 AS version FROM documents WHERE doc_id % 2 = 0
+),
+inc AS (
+  SELECT doc_id, source, n_chars + 1000 AS n_chars, 2 AS version
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(version AS BIGINT) AS version
+FROM inc
+UNION ALL
+SELECT CAST(c.doc_id AS BIGINT), c.source, CAST(c.n_chars AS BIGINT), CAST(c.version AS BIGINT)
+FROM cur c LEFT JOIN inc i ON c.doc_id = i.doc_id
+WHERE i.doc_id IS NULL"""
+
+KG_ORACLES["kg_pairwise_shared"] = with_kg() + f"""
+, mf AS (
+  SELECT doc_id, name, relevance_pct FROM mentions
+  WHERE relevance_pct >= {S.MIN_RELEVANCE_PCT}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.relevance_pct + b.relevance_pct AS avg2
+  FROM mf a JOIN mf b ON a.name = b.name AND a.doc_id < b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN avg2 >= {2 * S.HI_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+       CAST(SUM(CASE WHEN avg2 >= {2 * S.MED_BUCKET_PCT} AND avg2 < {2 * S.HI_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS med,
+       CAST(SUM(CASE WHEN avg2 >= {2 * S.LO_BUCKET_PCT} AND avg2 < {2 * S.MED_BUCKET_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS lo
+FROM pairs GROUP BY doc_a, doc_b"""
+
 def _search_sql() -> str:
     from .gate import SEARCH_QUERY_TOKENS  # single source for the token set
 
@@ -377,10 +466,12 @@ KG_ORACLES["kg_extract_html"] = """
 WITH ws(c) AS (SELECT ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
 ex AS (
   SELECT doc_id,
-         rtrim('--- Page 1 ---' || chr(10) || text, (SELECT c FROM ws)) AS extracted_text
+         CASE WHEN text IS NULL THEN NULL
+              ELSE rtrim('--- Page 1 ---' || chr(10) || text, (SELECT c FROM ws))
+         END AS extracted_text
   FROM documents
 )
 SELECT doc_id, extracted_text,
-       CAST(length(extracted_text) AS BIGINT) AS n_chars,
-       CAST(1 AS BIGINT) AS n_pages
+       CAST(COALESCE(length(extracted_text), 0) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN extracted_text IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_pages
 FROM ex"""

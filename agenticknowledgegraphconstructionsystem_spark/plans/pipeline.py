@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from ..operators.entities import build_doc_concept_edges, build_entities
 from ..operators.extract import extract_docs
-from ..operators.linking import canonicalize, repoint_mentions
+from ..operators.linking import (
+    canonicalize,
+    dedup_repointed_mentions,
+    repoint_mentions,
+)
 from ..operators.mentions import clean_mentions, detect_mentions_native
 from ..operators.relationships import discover_relationships, upsert_relationship_edges
 from ..operators.triples import build_triples
@@ -189,7 +193,13 @@ class Pipeline:
                     threshold=self.link_threshold,
                 ),
             )
-            mentions = repoint_mentions(raw_mentions, mapping)
+            # merged surface forms leave duplicate (url, name) rows —
+            # collapse to the best row per key before entities/relationships
+            # (else sum_relevance double-counts and the shared-concept join
+            # inflates multiplicatively)
+            mentions = dedup_repointed_mentions(
+                repoint_mentions(raw_mentions, mapping)
+            )
         else:
             mentions = raw_mentions
         entities = self._stage("entities", lambda: build_entities(mentions))

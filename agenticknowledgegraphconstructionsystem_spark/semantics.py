@@ -508,6 +508,73 @@ def stable_id(*parts: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Portable hashing — cross-engine exact (Spark, DuckDB, Python)
+#
+# MinHash / SimHash signatures must be *oracle-checkable*: DuckDB has no
+# xxhash64, so the hash family is plain 63-bit modular arithmetic that all
+# three engines evaluate identically:
+#
+#   poly_hash(s)       = fold over chars: acc ← (acc·31 + codepoint) mod P
+#   affine_k(h)        = (A[k]·h + B[k]) mod P          (k-th "permutation")
+#
+# P ≈ 2^30 keeps every intermediate < 2^63 (A,B,h < P ⇒ A·h+B < ~2^60), so
+# Spark's ANSI overflow checks and DuckDB's BIGINT both stay happy.  The
+# A/B tables are fixed constants (seeded PRNG at import — deterministic
+# across runs) rendered as literals into both the Spark plan and the
+# oracle SQL.  Inputs must be non-empty strings (shingles/tokens are
+# filtered upstream): the engines disagree on splitting '' into chars.
+# ---------------------------------------------------------------------------
+
+POLY_P = 1_000_000_007
+POLY_BASE = 31
+POLY_SEED0 = 7
+
+NUM_MINHASHES = 32  # doc near-dup signature width (16 bands × 2 rows)
+NUM_SIMHASH_BITS = 64
+
+
+def _affine_tables(n: int, seed: int) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    import random as _random
+
+    rng = _random.Random(seed)
+    a = tuple(rng.randrange(1, POLY_P) for _ in range(n))
+    b = tuple(rng.randrange(0, POLY_P) for _ in range(n))
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _affine_tables(NUM_MINHASHES, seed=1013)
+SIMHASH_A, SIMHASH_B = _affine_tables(NUM_SIMHASH_BITS, seed=2027)
+
+
+def poly_hash(s: str) -> int:
+    """Polynomial rolling hash over codepoints, mod POLY_P."""
+    acc = POLY_SEED0
+    for ch in s:
+        acc = (acc * POLY_BASE + ord(ch)) % POLY_P
+    return acc
+
+
+def affine_hash(h: int, a: int, b: int) -> int:
+    return (a * h + b) % POLY_P
+
+
+def simhash_bit_vote(h: int, k: int) -> int:
+    """+1 / -1 vote of token-hash ``h`` for simhash bit ``k`` (threshold at
+    P/2, expressed as 2·x >= P so no division enters any engine)."""
+    return 1 if 2 * affine_hash(h, SIMHASH_A[k], SIMHASH_B[k]) >= POLY_P else -1
+
+
+def rhp_planes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
+    """Random-hyperplane LSH planes — seeded Gaussian, generated once in
+    Python and rendered as float literals into BOTH the Spark plan and the
+    oracle SQL (repr() round-trips doubles exactly)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+# ---------------------------------------------------------------------------
 # Shingles (entity linking + near-dup dedup)
 # ---------------------------------------------------------------------------
 

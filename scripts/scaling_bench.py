@@ -132,8 +132,8 @@ def main() -> None:
     summary = {
         "job": "kg pipeline (mentions->entities->relationships->triples)",
         "input_docs": lo["n_docs"],
-        "local8": lo,
-        "local32": hi,
+        f"local{n_lo}": lo,
+        f"local{n_hi}": hi,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
