@@ -492,6 +492,68 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM ranked WHERE rank <= 5"""
 
 
+IVF_GATE = dict(n_centroids=16, n_probe=4)
+
+
+def q_ivf_ann(spark, sf_dir):
+    from .operators.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    t = ivf_ann_topk(emb, emb.where(F.col("vec_id") < 5), k=5, **IVF_GATE)
+    return t.select(
+        F.col("query_id").cast(_BIG).alias("query_id"),
+        F.col("neighbor_id").cast(_BIG).alias("neighbor_id"),
+        F.floor(F.col("cosine") * 1e9).cast(_BIG).alias("cos_e9"),
+        F.col("rank").cast(_BIG).alias("rank"),
+    )
+
+
+def _o_ivf_ann() -> str:
+    cos = (
+        "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), (acc, x) -> acc + x)"
+        " / ({na} * {nb})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, v AS centroid FROM e
+  ORDER BY ({S.MINHASH_A[0]} * vec_id + {S.MINHASH_B[0]}) % {S.POLY_P} ASC, vec_id ASC
+  LIMIT {IVF_GATE["n_centroids"]}
+),
+ascore AS (
+  SELECT e.vec_id AS id, e.v, c.centroid_id,
+         {cos.format(a="e.v", b="c.centroid", na=_sql_norm("e.v"), nb=_sql_norm("c.centroid"))} AS c_cos
+  FROM e CROSS JOIN cent c
+),
+ranked_cells AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c_cos DESC, centroid_id ASC) AS rn
+  FROM ascore
+),
+assigned AS (SELECT id AS neighbor_id, v AS cv, centroid_id FROM ranked_cells WHERE rn = 1),
+probes AS (
+  SELECT id AS query_id, v AS qv, centroid_id FROM ranked_cells
+  WHERE rn <= {IVF_GATE["n_probe"]} AND id < 5
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.qv, a.neighbor_id, a.cv
+  FROM assigned a JOIN probes p USING (centroid_id)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cos.format(a="qv", b="cv", na=_sql_norm("qv"), nb=_sql_norm("cv"))} AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       CAST(FLOOR(cosine * 1e9) AS BIGINT) AS cos_e9, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
 def _augmented_embeddings(spark, sf_dir):
     """Embeddings ∪ perturbed twins (v·1.01 + 0.01, elementwise double
     arithmetic — identical in both engines) for vec_id < EMB_PERTURB_N:
@@ -577,6 +639,7 @@ TEXT_QUERIES = {
     "td_minhash_dups": q_minhash_dups,
     "td_simhash_sigs": q_simhash_sigs,
     "td_rhp_ann_topk": q_rhp_ann,
+    "td_ivf_ann_topk": q_ivf_ann,
     "td_emb_near_dup": q_emb_near_dup,
 }
 
@@ -595,5 +658,6 @@ TEXT_ORACLES = {
     "td_minhash_dups": _o_minhash_dups(),
     "td_simhash_sigs": _o_simhash_sigs(),
     "td_rhp_ann_topk": _o_rhp_ann(),
+    "td_ivf_ann_topk": _o_ivf_ann(),
     "td_emb_near_dup": _o_emb_near_dup(),
 }

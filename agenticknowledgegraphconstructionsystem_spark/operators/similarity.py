@@ -150,6 +150,91 @@ def rhp_ann_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe each query's ``n_probe`` nearest lists, exact
+    cosine re-rank inside the probed lists only.
+
+    Centroid selection is a deterministic pseudo-random sample: the
+    ``n_centroids`` corpus rows with the smallest affine hash of their id
+    (semantics.affine_hash — reproducible in DuckDB, so the whole operator
+    is oracle-checkable).  At 10^12 rows the real deployment would train
+    centroids with k-means — the *plan shape* is identical: a broadcast of
+    n_centroids vectors, one narrow assignment pass over the corpus, and a
+    probe join that touches n_probe/n_centroids of the data instead of a
+    full scan.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cid_src"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    # deterministic sample: smallest (A·id + B) mod P, tie on id
+    h = (
+        F.lit(S.MINHASH_A[0]).cast("long") * F.col("cid_src") + F.lit(S.MINHASH_B[0])
+    ) % F.lit(S.POLY_P)
+    centroids = (
+        c.orderBy(h.asc(), F.col("cid_src").asc())
+        .limit(n_centroids)
+        .select(F.col("cid_src").alias("centroid_id"), F.col("cvec").alias("centroid"))
+    )
+
+    def nearest_cells(df, id_alias, vec_alias, n):
+        """n closest centroids per row by cosine (ties on centroid_id)."""
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_alias),
+            F.col(vec_alias),
+            "centroid_id",
+            (
+                _dot(F.col(vec_alias), F.col("centroid"))
+                / (_norm(F.col(vec_alias)) * _norm(F.col("centroid")))
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn", "c_cos")
+        )
+
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    assigned = nearest_cells(corp, "neighbor_id", "cv", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probes = nearest_cells(q, "query_id", "qv", n_probe)
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

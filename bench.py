@@ -48,6 +48,7 @@ def main() -> None:
         "td_minhash_dups": TEXT_QUERIES["td_minhash_dups"],
         "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
         "td_ann_cosine_topk": TEXT_QUERIES["td_ann_cosine_topk"],
+        "td_emb_near_dup": TEXT_QUERIES["td_emb_near_dup"],
         "td_quality": TEXT_QUERIES["td_quality"],
         # relational heavies
         "rel_equi_join": REL_QUERIES["rel_equi_join"],
@@ -81,29 +82,58 @@ def main() -> None:
     canonicalize(ents).write.format("noop").mode("overwrite").save()
     timings["kg_canonicalize"] = round(time.time() - t0, 3)
 
+    # canonicalize at 20× the name universe: deterministic suffix variants
+    # inflate the vocabulary (more components, larger edge/CC rounds) so the
+    # iterative stage's scaling is visible round-over-round
+    t0 = time.time()
+    big_ents = (
+        ents.crossJoin(spark.range(20).select(F.col("id").alias("_v")))
+        .select(
+            F.concat(F.col("name"), F.lit(" variant "), F.col("_v")).alias("name"),
+            "mention_count",
+        )
+    )
+    canonicalize(big_ents).write.format("noop").mode("overwrite").save()
+    timings["kg_canonicalize_20x"] = round(time.time() - t0, 3)
+
+    # full-pairwise J3 with the document-frequency cap (the skew-safe path)
+    from agenticknowledgegraphconstructionsystem_spark.operators.relationships import (
+        pairwise_shared_concepts,
+    )
+
+    t0 = time.time()
+    _force(pairwise_shared_concepts(_mentions(spark, sf_dir)))
+    timings["kg_pairwise_capped"] = round(time.time() - t0, 3)
+
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples_df = KG_QUERIES["kg_triples"](spark, sf_dir)
     n_triples = n_triples_df.count()
     kg_sec = timings["kg_triples"]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "throughput": {
-                    "docs_per_sec": round(n_docs / kg_sec, 1),
-                    "triples_per_sec": round(n_triples / kg_sec, 1),
-                    "n_docs": n_docs,
-                    "n_triples": n_triples,
-                },
-            }
-        )
-    )
+    record = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "throughput": {
+            "docs_per_sec": round(n_docs / kg_sec, 1),
+            "triples_per_sec": round(n_triples / kg_sec, 1),
+            "n_docs": n_docs,
+            "n_triples": n_triples,
+        },
+    }
+    print(json.dumps(record))
+    # per-round history (append, never overwrite) so regressions are
+    # answerable round-over-round: BENCH/history.jsonl
+    try:
+        hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(hist_dir, exist_ok=True)
+        with open(os.path.join(hist_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **record}) + "\n")
+    except OSError:
+        pass  # history is best-effort; the stdout contract must not break
     spark.stop()
 
 
