@@ -274,8 +274,11 @@ from . import semantics as S  # noqa: E402  (oracle builders render its constant
 
 #: td_minhash_dups gate parameters (Spark call + oracle SQL share these)
 MINHASH_GATE = dict(n=3, num_hashes=32, bands=16, threshold=0.3, max_bucket=10_000)
-#: td_rhp_ann_topk / td_emb_near_dup gate parameters
+#: td_rhp_ann_topk gate parameters (4-bit bands: query side is broadcast)
 RHP_GATE = dict(dim=64, num_planes=16, bands=4, seed=7)
+#: td_emb_near_dup gate parameters (8-bit bands: corpus self-join needs a
+#: 2^-8 random-collision rate — see embedding_near_duplicates docstring)
+EMB_GATE = dict(dim=64, num_planes=32, bands=4, seed=7)
 EMB_NEAR_DUP_THRESHOLD = 0.95
 EMB_PERTURB_N = 25  # perturbed near-dup twins injected for vec_id < N
 EMB_PERTURB_ID_OFFSET = 100_000
@@ -426,20 +429,20 @@ def _sql_norm(vexpr: str) -> str:
     return f"sqrt(list_reduce(list_transform({vexpr}, x -> x * x), (acc, x) -> acc + x))"
 
 
-def _sql_rhp_bits_and_bands(vexpr: str) -> tuple[str, str]:
-    """→ (bit column SQL, band CASE SQL) for the RHP_GATE plane set."""
-    planes = S.rhp_planes(RHP_GATE["dim"], RHP_GATE["num_planes"], RHP_GATE["seed"])
+def _sql_rhp_bits_and_bands(vexpr: str, cfg: dict = RHP_GATE) -> tuple[str, str]:
+    """→ (bit column SQL, band CASE SQL) for a plane-set config."""
+    planes = S.rhp_planes(cfg["dim"], cfg["num_planes"], cfg["seed"])
     bits = ",\n         ".join(
         f"(CASE WHEN {_sql_dot(vexpr, p)} >= 0 THEN 1 ELSE 0 END) AS bit{j}"
         for j, p in enumerate(planes)
     )
-    rpb = RHP_GATE["num_planes"] // RHP_GATE["bands"]
+    rpb = cfg["num_planes"] // cfg["bands"]
     band_case = " ".join(
         "WHEN {b} THEN {expr}".format(
             b=b,
             expr=" + ".join(f"{1 << r} * bit{b * rpb + r}" for r in range(rpb)),
         )
-        for b in range(RHP_GATE["bands"])
+        for b in range(cfg["bands"])
     )
     return bits, band_case
 
@@ -579,7 +582,7 @@ def q_emb_near_dup(spark, sf_dir):
         _augmented_embeddings(spark, sf_dir),
         threshold=EMB_NEAR_DUP_THRESHOLD,
         max_bucket=10_000,
-        **RHP_GATE,
+        **EMB_GATE,
     )
     return pairs.select(
         F.col("id_a").cast(_BIG).alias("id_a"),
@@ -589,7 +592,7 @@ def q_emb_near_dup(spark, sf_dir):
 
 
 def _o_emb_near_dup() -> str:
-    bits, band_case = _sql_rhp_bits_and_bands("v")
+    bits, band_case = _sql_rhp_bits_and_bands("v", EMB_GATE)
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pert AS (
@@ -603,7 +606,7 @@ sig AS (SELECT vec_id,
         FROM e),
 banded AS (
   SELECT vec_id, t.b AS band_id, CASE t.b {band_case} END AS band_val
-  FROM sig, unnest(range(0, {RHP_GATE["bands"]})) AS t(b)
+  FROM sig, unnest(range(0, {EMB_GATE["bands"]})) AS t(b)
 ),
 capped AS (
   SELECT vec_id, band_id, band_val FROM (

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import semantics as S
+from ..functions.vector import pairwise_cosine_udf, rhp_signature_udf
 from .dedup import DEFAULT_MAX_BUCKET, capped_band_pairs
 
 
@@ -66,9 +67,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-                "cosine"
-            ),
+            pairwise_cosine_udf(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -117,14 +116,24 @@ def rhp_ann_topk(
     the band probe is map-side (no shuffle on the corpus scan)."""
     assert num_planes % bands == 0
     planes = S.rhp_planes(dim, num_planes, seed)
-    sig = rhp_signature_col(vec_col, planes)
-    band_arr = _band_arr(sig, num_planes, bands)
+    sig_udf = rhp_signature_udf(planes)
 
     def with_bands(df, id_alias, vec_alias):
-        return df.select(
+        # signature via the vectorized Arrow kernel (Column HOF folds are
+        # interpreter-evaluated — the slow path for num_planes × dim
+        # multiply-adds), materialized into a column BEFORE band
+        # extraction so it is computed once, not once per band
+        sigged = df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).cast("array<double>").alias(vec_alias),
-            F.posexplode(band_arr).alias("band_id", "band_val"),
+            sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
+        )
+        return sigged.select(
+            id_alias,
+            vec_alias,
+            F.posexplode(_band_arr(F.col("_sig"), num_planes, bands)).alias(
+                "band_id", "band_val"
+            ),
         )
 
     cq = with_bands(queries, "query_id", "qv")
@@ -138,9 +147,7 @@ def rhp_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-            "cosine"
-        ),
+        pairwise_cosine_udf(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -192,10 +199,7 @@ def ivf_ann_topk(
             F.col(id_alias),
             F.col(vec_alias),
             "centroid_id",
-            (
-                _dot(F.col(vec_alias), F.col("centroid"))
-                / (_norm(F.col(vec_alias)) * _norm(F.col("centroid")))
-            ).alias("c_cos"),
+            pairwise_cosine_udf(F.col(vec_alias), F.col("centroid")).alias("c_cos"),
         )
         w = Window.partitionBy(id_alias).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
         return (
@@ -223,9 +227,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-            "cosine"
-        ),
+        pairwise_cosine_udf(F.col("qv"), F.col("cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -240,7 +242,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 16,
+    num_planes: int = 32,
     bands: int = 4,
     dim: int = 64,
     seed: int = 7,
@@ -253,14 +255,30 @@ def embedding_near_duplicates(
     band_val) rows; vectors are joined back per surviving pair.  Hot band
     buckets are capped (a bucket of B members is B² pairs — see
     dedup.capped_band_pairs for the audit path).
+
+    Band sizing: a corpus SELF-join needs wide bands — with r-bit bands a
+    random near-orthogonal pair collides with prob 2^-r per band, and
+    expected junk candidates are bands · C(N,2) / 2^r.  The 8-bit default
+    (32 planes / 4 bands) keeps junk at N²/128 while missing a cos>=0.95
+    pair (bit-agreement p = 1 - arccos(0.95)/π ≈ 0.90) with prob
+    (1 - p^8)^4 ≈ 4%; raise bands for higher recall, planes-per-band for
+    lower cost.  (The query-side rhp_ann_topk keeps 4-bit bands: its
+    candidate volume is bounded by the broadcast query count, and recall
+    matters more there.)
     """
     assert num_planes % bands == 0
     planes = S.rhp_planes(dim, num_planes, seed)
-    sig = rhp_signature_col(vec_col, planes)
-    band_arr = _band_arr(sig, num_planes, bands)
+    sig_udf = rhp_signature_udf(planes)
+    # vectorized signature kernel, materialized once per row before band
+    # extraction (the band array references it `bands` times)
     banded = corpus.select(
         F.col(id_col),
-        F.posexplode(band_arr).alias("band_id", "band_hash"),
+        sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
+    ).select(
+        F.col(id_col),
+        F.posexplode(_band_arr(F.col("_sig"), num_planes, bands)).alias(
+            "band_id", "band_hash"
+        ),
     )
     pairs = capped_band_pairs(banded, id_col, max_bucket)
     vecs = corpus.select(
@@ -274,9 +292,7 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias(
-                "cosine"
-            ),
+            pairwise_cosine_udf(F.col("va"), F.col("vb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -70,6 +70,22 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; duplicates
+    arriving within the watermark horizon are dropped, and state older
+    than the watermark is evicted (bounded state — the streaming analog of
+    dedup.exact_duplicates; for content dedup pass a precomputed
+    ``md5(text)`` column as the key)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_mentions(pages_stream: DataFrame) -> DataFrame:
     """D1 over a stream — stateless narrow op, identical semantics to the
     batch detector (same Column expressions)."""

@@ -376,6 +376,37 @@ def _session_rows(seed=11, n_users=3, n_events=30):
     return all_rows
 
 
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2025, 2, 1)
+    rows = []
+    for i in range(20):
+        r = Row(
+            event_id=i % 8,  # ids repeat -> duplicates
+            ts=base + dt.timedelta(minutes=i),
+            user_id=i % 3,
+            event_type="a",
+            value=float(i),
+            props="{}",
+        )
+        rows.append(r)
+    path = str(tmp_path / "dedup_ev")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    out = run_available_now(streaming_dedup(stream), "dedup_stream").collect()
+    ids = [r["event_id"] for r in out]
+    assert sorted(ids) == sorted(set(range(8)))
+    # first occurrence wins (min ts per key)
+    by_id = {r["event_id"]: r for r in out}
+    for i in range(8):
+        assert by_id[i]["value"] == float(i)
+
+
 def test_sessionize_matches_oracle_single_batch(spark, tmp_path):
     from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
         EVENTS_SCHEMA,
