@@ -100,6 +100,108 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     return media.mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize plumbing.  Real path would decode + resample
+    via PIL/libvips (not in this container — raises); the fake path emits a
+    deterministic pseudo-thumbnail (content digest tiled to width·height
+    bytes) so batch shape, schema, and payload-size discipline are
+    exercised: output payloads are bounded by the target dimensions
+    regardless of input size — the property that matters for shuffle
+    planning downstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/libvips — not available "
+                    "in this container; pass fake=True for the deterministic "
+                    "stand-in"
+                )
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                d = hashlib.sha256(p).digest()
+                need = width * height
+                out.append((d * (need // len(d) + 1))[:need])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(fn, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mfcc", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_audio(
+    media: DataFrame, n_mfcc: int = 13, bytes_per_ms: int = 16, fake: bool = True
+) -> DataFrame:
+    """mapInPandas audio decode/feature plumbing (the audio member of the
+    image/audio/video trio).  Real path would decode PCM + compute MFCCs
+    via soundfile/librosa (not in this container — raises); the fake path
+    derives duration from payload size and a deterministic digest-based
+    MFCC vector, so schema, Arrow batch shape and array<float> handoff to
+    the similarity operators are real and tested."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa — not "
+                    "available in this container; pass fake=True for the "
+                    "deterministic stand-in"
+                )
+            rows = []
+            for p in pdf["payload"]:
+                if p is None:
+                    rows.append((0, 0, [0.0] * n_mfcc))
+                    continue
+                d = hashlib.sha256(p).digest()
+                rows.append(
+                    (
+                        len(p),
+                        len(p) // bytes_per_ms,
+                        [((d[i % 32] / 255.0) * 2.0 - 1.0) for i in range(n_mfcc)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_bytes": [r[0] for r in rows],
+                    "duration_ms": [r[1] for r in rows],
+                    "mfcc": [r[2] for r in rows],
+                }
+            )
+
+    return media.where(F.col("kind") == "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index (the decode itself is the same stub).  Emits (media_id,

@@ -257,6 +257,40 @@ def test_embedding_near_duplicates_parity(spark):
     assert len(got) >= 0.8 * len(truth), (len(got), len(truth))
 
 
+def test_resize_and_audio_plumbing(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_audio,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", mime="image/png", payload=b"img-bytes" * 100, meta="{}"),
+            Row(media_id=2, kind="audio", mime="audio/wav", payload=b"pcm" * 3200, meta="{}"),
+            Row(media_id=3, kind="image", mime="image/png", payload=None, meta="{}"),
+        ]
+    )
+    resized = {r["media_id"]: r for r in resize_images(media, width=8, height=4).collect()}
+    assert set(resized) == {1, 3}  # image rows only
+    assert len(resized[1]["payload"]) == 8 * 4  # bounded by target dims
+    assert resized[3]["payload"] is None
+    # deterministic: same input -> same pseudo-thumbnail
+    again = {r["media_id"]: r for r in resize_images(media, width=8, height=4).collect()}
+    assert again[1]["payload"] == resized[1]["payload"]
+
+    audio = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert set(audio) == {2}
+    assert audio[2]["duration_ms"] == (3 * 3200) // 16
+    assert len(audio[2]["mfcc"]) == 13
+
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize_images(media, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|real audio decode"):
+        decode_audio(media, fake=False).collect()
+
+
 def test_ivf_ann_recall(spark):
     from agenticknowledgegraphconstructionsystem_spark.operators.similarity import (
         ivf_ann_topk,
