@@ -42,6 +42,7 @@ from ..sources.io import StageStore
 
 STAGES = (
     "extract",
+    "dedup",
     "mentions",
     "entities",
     "canonical_map",
@@ -61,17 +62,26 @@ class Pipeline:
         run_id: str = "run0",
         link: bool = True,
         link_threshold: float = 0.5,
+        dedup_docs: bool = False,
     ):
         """``link`` toggles the canonicalization stage.  Note the trade-off
         at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
         so do containment pairs ('row batch'→'batch', j=0.56) — raise the
         threshold for stricter linking, or disable for exact reference
-        parity (the reference has no linking at all, db_init.py:56)."""
+        parity (the reference has no linking at all, db_init.py:56).
+
+        ``dedup_docs`` adds a corpus-hygiene stage after extraction: exact
+        content dedup (min-url keeper per content hash) before any
+        detection runs — the training-data-pipeline move that stops
+        crawl duplicates from inflating mention_count and relationship
+        confidence.  Off by default for reference parity (the reference
+        ingests whatever arrives)."""
         self.spark = spark
         self.store = StageStore(spark, out_dir)
         self.run_id = run_id
         self.link = link
         self.link_threshold = link_threshold
+        self.dedup_docs = dedup_docs
         self._recomputed: list[str] = []
 
     # -- lineage ---------------------------------------------------------
@@ -154,6 +164,22 @@ class Pipeline:
         self._lineage_rows(name, out, input_rows, int((time.time() - t0) * 1000))
         return out
 
+    def _dedup_docs(self, docs: DataFrame) -> DataFrame:
+        """Exact content dedup: keep the min-url row per extracted_text
+        hash (semi join against the keeper set — one shuffle on the
+        128-bit hash, perfectly balanced keys).  Rows with NULL text all
+        survive (md5(NULL) would otherwise collapse them into one keeper
+        group — there is no content to be a duplicate OF)."""
+        from ..operators.dedup import exact_duplicates
+
+        with_text = docs.where(F.col("extracted_text").isNotNull())
+        keepers = exact_duplicates(
+            with_text, key="url", text_col="extracted_text"
+        ).select(F.col("keeper").alias("url"))
+        return with_text.join(keepers, "url", "left_semi").unionByName(
+            docs.where(F.col("extracted_text").isNull())
+        )
+
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
     def ingest_increment(self, pages: DataFrame) -> DataFrame:
         """database.ts:66-81 semantics lifted to sets: extract ONLY pages
@@ -181,6 +207,8 @@ class Pipeline:
     # -- the pipeline ----------------------------------------------------
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         docs = self._stage("extract", lambda: extract_docs(pages))
+        if self.dedup_docs:
+            docs = self._stage("dedup", lambda: self._dedup_docs(docs))
         raw_mentions = self._stage(
             "mentions", lambda: clean_mentions(detect_mentions_native(docs))
         )

@@ -257,6 +257,28 @@ def test_embedding_near_duplicates_parity(spark):
     assert len(got) >= 0.8 * len(truth), (len(got), len(truth))
 
 
+def test_pipeline_dedup_docs_stage(spark, tmp_path):
+    """Corpus-hygiene stage: exact dups collapse to the min-url keeper,
+    null-text rows all survive, and the stage is committed/resumable."""
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import Pipeline
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="u1", warc_ts=None, html=None, text="same body here", lang="en"),
+            Row(url="u2", warc_ts=None, html=None, text="same body here", lang="en"),
+            Row(url="u3", warc_ts=None, html=None, text="unique body", lang="en"),
+            Row(url="u4", warc_ts=None, html=None, text=None, lang="en"),
+            Row(url="u5", warc_ts=None, html=None, text=None, lang="en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    p = Pipeline(spark, str(tmp_path / "kg_dedup"), dedup_docs=True, link=False)
+    out = p.run(pages)
+    urls = {r["url"] for r in out["docs"].select("url").collect()}
+    assert urls == {"u1", "u3", "u4", "u5"}  # u2 deduped, nulls kept
+    assert p.store.is_committed("dedup")
+
+
 def test_resize_and_audio_plumbing(spark):
     from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
         decode_audio,
