@@ -115,11 +115,14 @@ class Pipeline:
             "overwrite"
         ).csv(path, header=True)
 
-    def export_report(self, path: str) -> dict:
+    def export_report(self, path: str, max_items: int = 100_000) -> dict:
         """S12 (run-validation.ts:186-228): JSON report of only the
         problematic items + summary counts.  The findings table is tiny
         relative to the corpus (items with issues), so collect-and-dump is
-        the right shape; a huge report would switch to df.write.json."""
+        the right shape — guarded: past ``max_items`` the per-item detail
+        is written distributed (df.write.json to ``path + '.items'``) and
+        only the summary is collected, so a pathological corpus can never
+        pull an unbounded result through the driver."""
         import json as _json
 
         findings = self._results["findings"]
@@ -131,6 +134,22 @@ class Pipeline:
             )
             .orderBy("item_kind", "item_key")
         )
+        n_items = per_item.count()
+        if n_items > max_items:
+            per_item.write.mode("overwrite").json(path + ".items")
+            report = {
+                "run_id": self.run_id,
+                "totals": {
+                    "entities": self._results["entities"].count(),
+                    "relationships": self._results["relationships"].count(),
+                    "problematic_items": n_items,
+                },
+                "items": None,
+                "items_path": path + ".items",
+            }
+            with open(path, "w") as f:
+                _json.dump(report, f, indent=2, sort_keys=True)
+            return report
         items = [
             {
                 "kind": r["item_kind"],

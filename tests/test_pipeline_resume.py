@@ -60,6 +60,13 @@ def test_export_report(spark, tmp_path):
     # deterministic: exporting again yields identical bytes
     report2 = p.export_report(str(tmp_path / "v2.json"))
     assert report == report2
+    # driver-safety guard: past max_items the detail goes distributed
+    guarded = p.export_report(str(tmp_path / "v3.json"), max_items=1)
+    assert guarded["items"] is None and guarded["items_path"].endswith(".items")
+    assert guarded["totals"]["problematic_items"] == report["totals"]["problematic_items"]
+    import glob as _glob
+
+    assert _glob.glob(guarded["items_path"] + "/part-*")
     # S6 CSV summary sink
     p.export_summary_csv(str(tmp_path / "summary_csv"))
     import glob
