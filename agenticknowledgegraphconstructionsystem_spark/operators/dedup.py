@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +37,18 @@ from ..functions.hashing import minhash_col, poly_hash_col, simhash_vote_col
 #: (they are non-discriminative and quadratic); far above anything the
 #: test scales produce, so correctness gates are unaffected.
 DEFAULT_MAX_BUCKET = 10_000
+
+
+def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
+    """Lazy MEMORY_AND_DISK persist for an intermediate referenced by
+    several plan branches (sizes + both self-join sides + verify): Spark
+    performs no cross-branch common-subexpression elimination, so without
+    this the shingle/signature subtree is re-evaluated per branch
+    (measured 2x end-to-end on minhash at sf0.1).  At petabyte scale the
+    equivalent move is committing the signature table to storage first
+    (exactly what plans/pipeline.py stage commits do); persist is the
+    in-plan analog and spills to disk under pressure."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if flag else df
 
 
 def _threshold_fraction(threshold: float) -> tuple[int, int]:
@@ -186,7 +199,7 @@ def ngram_jaccard_pairs(
     blocker.
     """
     num, den = _threshold_fraction(threshold)
-    sh = word_ngram_shingles(docs, key, text_col, n)
+    sh = _maybe_persist(word_ngram_shingles(docs, key, text_col, n), True)
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(key).alias("id_a"), "shingle")
     b = sh.select(F.col(key).alias("id_b"), "shingle")
@@ -215,9 +228,12 @@ def minhash_banded_signatures(
     n: int = 5,
     num_hashes: int = 32,
     bands: int = 16,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (shingles, banded): per-doc MinHash signature exploded to one row
-    per band, using the portable poly/affine hash family.
+    per band, using the portable poly/affine hash family.  ``persist``
+    lazily caches the shingle table — it feeds the signature aggregation
+    AND the verify step's three branches (see _maybe_persist).
 
     Per (doc, shingle): one char-fold poly_hash, then ``num_hashes`` affine
     permutations reduced by min() — a single map-side-combinable
@@ -229,7 +245,10 @@ def minhash_banded_signatures(
     rows_per_band = num_hashes // bands
     assert rows_per_band <= 2, "band packing is base-P in a 63-bit long"
     assert num_hashes <= S.NUM_MINHASHES
-    sh = word_ngram_shingles(docs, key, text_col, n).where(F.col("shingle") != "")
+    sh = _maybe_persist(
+        word_ngram_shingles(docs, key, text_col, n).where(F.col("shingle") != ""),
+        persist,
+    )
     hs = sh.select(F.col(key), poly_hash_col(F.col("shingle")).alias("h"))
     sig = hs.groupBy(key).agg(
         *[
@@ -312,7 +331,9 @@ def simhash_near_duplicates(
     """Near-dup pairs with Hamming(simhash) <= k via 4x16-bit band blocking
     (any pair within Hamming 3 shares at least one exact 16-bit quarter);
     hot 16-bit buckets are capped exactly like the MinHash bands."""
-    sig = simhash_signatures(docs, key, text_col)
+    # persist: the signature aggregation feeds the banding AND both join
+    # sides of the pair verify
+    sig = _maybe_persist(simhash_signatures(docs, key, text_col), True)
     quarters = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * q)
