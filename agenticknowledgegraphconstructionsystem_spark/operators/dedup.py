@@ -103,9 +103,9 @@ def capped_band_pairs(
     members emits B² candidate rows, so one degenerate bucket (e.g.
     thousands of short texts sharing a band value) would dominate the whole
     job at corpus scale while contributing no discriminative signal — the
-    same df-cap rationale as pairwise_shared_concepts.  The cap is a
-    window count over (band_id, band_hash): one extra hash-aggregate, no
-    extra scan of the raw text.  Recall note: a true near-dup pair inside
+    same df-cap rationale as pairwise_shared_concepts.  The cap is one
+    extra hash-aggregate over (band_id, band_hash) joined back — no extra
+    scan of the raw text.  Recall note: a true near-dup pair inside
     a dropped bucket is still found via any of its OTHER bands (banding is
     redundant by construction); use :func:`dropped_band_buckets` on the
     same ``banded`` DF to audit what the cap removed — dropping is never

@@ -90,6 +90,55 @@ def test_linking_candidate_pairs_capped(spark):
 
 
 # ---------------------------------------------------------------------------
+# portable hash family — tri-engine property test (Python / Spark / DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def test_poly_hash_tri_engine_property(spark):
+    """The foundation of every LSH oracle: semantics.poly_hash must agree
+    bit-for-bit across Python, the Spark Column fold, and DuckDB's
+    list_reduce for arbitrary non-empty Unicode strings (Spark ascii() and
+    DuckDB ord() both return the codepoint)."""
+    import duckdb
+
+    from agenticknowledgegraphconstructionsystem_spark.functions.hashing import (
+        poly_hash_col,
+    )
+
+    rng = random.Random(97)
+    pools = [
+        "abcdefghij KLMNOP 0123456789",
+        "!@#$%^&*()_+-=[]{};:'\",.<>/?\\|`~",
+        "àáâäèéêëìíîïñòóôöùúûüçß",
+        "日本語中文한국어кириллица",
+        " \t",  # internal whitespace (never leading-only: strings non-empty)
+    ]
+    cases = []
+    for i in range(200):
+        pool = pools[i % len(pools)] + pools[(i * 7) % len(pools)]
+        n = rng.randrange(1, 60)
+        s = "".join(rng.choice(pool) for _ in range(n))
+        if s:
+            cases.append(s)
+    cases = sorted(set(cases))
+
+    py = {s: S.poly_hash(s) for s in cases}
+    df = spark.createDataFrame([Row(s=s) for s in cases])
+    got_spark = {
+        r["s"]: r["h"] for r in df.select("s", poly_hash_col(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    q = (
+        f"SELECT list_reduce(list_prepend(CAST({S.POLY_SEED0} AS BIGINT), "
+        f"list_transform(string_split(?, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {S.POLY_BASE} + c) % {S.POLY_P})"
+    )
+    for s in cases:
+        dd = con.execute(q, [s]).fetchone()[0]
+        assert py[s] == got_spark[s] == dd, (repr(s), py[s], got_spark[s], dd)
+
+
+# ---------------------------------------------------------------------------
 # repointed-mention dedup (advisor finding: double-count after merge)
 # ---------------------------------------------------------------------------
 
