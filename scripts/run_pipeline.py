@@ -34,6 +34,14 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-link", action="store_true")
+    ap.add_argument(
+        "--dedup-docs",
+        action="store_true",
+        help="corpus-hygiene stage: exact content dedup after extraction",
+    )
+    ap.add_argument(
+        "--link-threshold", type=float, default=0.5, help="canonicalization Jaccard cut"
+    )
     ap.add_argument("--report", help="write validation-results.json here")
     args = ap.parse_args()
 
@@ -51,7 +59,14 @@ def main() -> None:
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.pages)
     else:
         pages = synthetic_pages(spark, args.n_docs)
-    p = Pipeline(spark, args.out, run_id=args.run_id, link=not args.no_link)
+    p = Pipeline(
+        spark,
+        args.out,
+        run_id=args.run_id,
+        link=not args.no_link,
+        link_threshold=args.link_threshold,
+        dedup_docs=args.dedup_docs,
+    )
     res = p.run(pages)
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
     if args.report:
