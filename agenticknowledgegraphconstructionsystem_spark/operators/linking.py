@@ -199,7 +199,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     sym = sym.localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # explicit salting + two-phase min per north_rule: a hot (high-
         # degree) vertex's incoming labels first reduce within
         # (dst, hash(src) % 16) groups, then across salts — min() already
@@ -222,15 +222,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             )
         )
         new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "name")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # convergence check only on odd rounds: each check is a driver
+        # action (a full job); min-label propagation never un-converges,
+        # so checking every 2nd round halves the serial job count for a
+        # worst-case cost of one extra (cheap, already-converged) round
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "name")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            changed = -1  # unknown this round
+            labels = new_labels
     else:
         # loop exhausted max_iter while labels were still moving: a
         # component with diameter > max_iter would be returned split
