@@ -495,6 +495,43 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neig
 FROM ranked WHERE rank <= 5"""
 
 
+WINNOW_GATE = dict(k=8, w=4)
+
+
+def q_winnow_fp(spark, sf_dir):
+    from .operators.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(_docs(spark, sf_dir), **WINNOW_GATE)
+    return fp.select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        F.col("fp").cast(_BIG).alias("fp"),
+    )
+
+
+def _o_winnow_fp() -> str:
+    g = WINNOW_GATE
+    poly = _sql_poly(f"substr(t, CAST(i AS INT), {g['k']})")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND length(lower(text)) > 0
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {g["k"] - 1}, 1) + 1),
+                        i -> {poly}) AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - {g["w"] - 1}, 1) + 1),
+                                      j -> list_min(hs[j:j+{g["w"] - 1}]))) AS fps
+  FROM h
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(unnest(fps) AS BIGINT) AS fp
+FROM sel"""
+
+
 IVF_GATE = dict(n_centroids=16, n_probe=4)
 
 
@@ -644,6 +681,7 @@ TEXT_QUERIES = {
     "td_rhp_ann_topk": q_rhp_ann,
     "td_ivf_ann_topk": q_ivf_ann,
     "td_emb_near_dup": q_emb_near_dup,
+    "td_winnow_fp": q_winnow_fp,
 }
 
 TEXT_ORACLES = {
@@ -663,4 +701,5 @@ TEXT_ORACLES = {
     "td_rhp_ann_topk": _o_rhp_ann(),
     "td_ivf_ann_topk": _o_ivf_ann(),
     "td_emb_near_dup": _o_emb_near_dup(),
+    "td_winnow_fp": _o_winnow_fp(),
 }

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import semantics as S
+
 #: tiny per-language marker-token lists (n-gram heuristic); counts of
 #: ' tok ' occurrences in ' '||lower(text)||' ' decide the language.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -122,3 +124,50 @@ def fingerprint(text: Column) -> Column:
     variant for shift-tolerant matching would be a pandas UDF extension."""
     norm = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
     return F.md5(norm)
+
+
+def winnow_fingerprints(
+    docs: "DataFrame",
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every char k-gram with the portable
+    poly hash, then keep the minimum hash of every w-window.  Guarantees:
+    any shared substring of length >= k + w - 1 between two documents
+    yields at least one shared fingerprint, and the density of selected
+    fingerprints is ~2/(w+1) — a shift-tolerant, size-bounded signature
+    set (the rolling-hash upgrade the plain md5 :func:`fingerprint`
+    docstring promises).
+
+    → (key, fp) distinct rows, fp BIGINT.  Entirely built-in expressions
+    (transform/slice/array_min over one scan) and exactly reproducible in
+    DuckDB SQL via the same poly/affine arithmetic — gate-checkable.
+    Documents shorter than k chars contribute their whole text as the
+    single gram; empty/NULL texts are excluded (no content to fingerprint).
+    """
+    t = F.lower(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.transform(F.split(t.substr(i, F.lit(k)), ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(S.POLY_SEED0).cast("long"),
+            lambda acc, c: (acc * F.lit(S.POLY_BASE) + c) % F.lit(S.POLY_P),
+        ),
+    )
+    n_windows = F.greatest(F.size(F.col("_h")) - (w - 1), F.lit(1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+        )
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(key), hashes.alias("_h"))
+        .select(F.col(key), F.explode(sel).alias("fp"))
+        .distinct()
+    )

@@ -270,6 +270,36 @@ def test_similarity_edges_exact_matches_lsh(spark):
     assert exact == lsh
 
 
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantees (Schleimer et al. SIGMOD'03): identical docs →
+    identical fingerprint sets; a PREFIX-shifted copy retains every
+    fingerprint of the original (shift tolerance the md5 fingerprint lacks
+    — any shared substring >= k+w-1 chars shares a fingerprint); disjoint
+    content shares none; density ≈ 2/(w+1) bounds the set size."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="PREFIX the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different content entirely here"),
+            Row(doc_id=4, text="ab"),  # shorter than k -> single gram
+        ]
+    )
+    by: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[0] == by[1]
+    assert by[0] <= by[2]  # shifted copy keeps all originals' fingerprints
+    assert not (by[0] & by[3])
+    assert len(by[4]) == 1
+    n_grams = len("the quick brown fox jumps over the lazy dog") - 7
+    assert len(by[0]) <= n_grams  # winnowing selects a subset of grams
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup parity vs brute force
 # ---------------------------------------------------------------------------
