@@ -532,6 +532,45 @@ SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(unnest(fps) AS BIGINT) AS
 FROM sel"""
 
 
+def q_winnow_dups(spark, sf_dir):
+    """Shift-tolerant near-dup pairs at fingerprint-Jaccard >= 0.3."""
+    from .operators.dedup import winnow_near_duplicates
+
+    pairs = winnow_near_duplicates(
+        _docs(spark, sf_dir), threshold=0.3, **WINNOW_GATE
+    )
+    return pairs.select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.col("inter").cast(_BIG).alias("inter"),
+        F.col("sz_a").cast(_BIG).alias("sz_a"),
+        F.col("sz_b").cast(_BIG).alias("sz_b"),
+    )
+
+
+def _o_winnow_dups() -> str:
+    from fractions import Fraction
+
+    fr = Fraction("0.3")
+    base = _o_winnow_fp()
+    return f"""
+WITH fp AS ({base}
+)
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * {fr.denominator} >= {fr.numerator} * (sa.sz + sb.sz - inter)"""
+
+
 IVF_GATE = dict(n_centroids=16, n_probe=4)
 
 
@@ -682,6 +721,7 @@ TEXT_QUERIES = {
     "td_ivf_ann_topk": q_ivf_ann,
     "td_emb_near_dup": q_emb_near_dup,
     "td_winnow_fp": q_winnow_fp,
+    "td_winnow_dups": q_winnow_dups,
 }
 
 TEXT_ORACLES = {
@@ -702,4 +742,5 @@ TEXT_ORACLES = {
     "td_ivf_ann_topk": _o_ivf_ann(),
     "td_emb_near_dup": _o_emb_near_dup(),
     "td_winnow_fp": _o_winnow_fp(),
+    "td_winnow_dups": _o_winnow_dups(),
 }

@@ -289,6 +289,51 @@ def minhash_near_duplicates(
     return _jaccard_verify(cand, sh, key, threshold)
 
 
+def winnow_near_duplicates(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shift-tolerant near-dup pairs over winnowed fingerprint sets
+    (textstats.winnow_fingerprints): pairs sharing >= 1 fingerprint are
+    scored by exact Jaccard of their fingerprint sets.  Where word-n-gram
+    Jaccard needs aligned tokenization, winnowing guarantees any shared
+    substring >= k+w-1 chars contributes a shared fingerprint — robust to
+    insertions/prefixes/boilerplate shifts.  The fp equi-join is the
+    blocker (never all-pairs); fingerprint density ~2/(w+1) keeps the set
+    ~4x smaller than the gram universe.
+
+    Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — same oracle-exact
+    shape as the other dedup operators.
+    """
+    from .textstats import winnow_fingerprints
+
+    num, den = _threshold_fraction(threshold)
+    fp = _maybe_persist(winnow_fingerprints(docs, key, text_col, k, w), True)
+    sizes = fp.groupBy(key).agg(F.count("*").alias("sz"))
+    a = fp.select(F.col(key).alias("id_a"), "fp")
+    b = fp.select(F.col(key).alias("id_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(sizes.select(F.col(key).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(key).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .where(F.col("inter") * den >= F.lit(num) * union)
+        .select(
+            "id_a", "id_b", "inter", "sz_a", "sz_b",
+            (F.col("inter") / union).alias("jaccard"),
+        )
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, key: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
