@@ -15,8 +15,12 @@ DuckDB yields one empty element too but ``ascii('')`` (0) has no DuckDB
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from .. import semantics as S
 
@@ -47,3 +51,53 @@ def simhash_vote_col(h: Column, k: int) -> Column:
         affine_col(h, S.SIMHASH_A[k], S.SIMHASH_B[k]) * 2 >= F.lit(S.POLY_P),
         F.lit(1),
     ).otherwise(F.lit(-1))
+
+
+def winnow_fp_udf(k: int, w: int):
+    """Arrow/numpy twin of the winnowing Column expression
+    (operators.textstats.winnow_fingerprints): per document, poly-hash
+    every char k-gram and keep the min of each w-window, distinct.
+
+    Pure int64 arithmetic so it is BIT-IDENTICAL to the Column path and
+    the DuckDB oracle: codepoints come from a utf-32 view (== Spark
+    ``ascii``/DuckDB ``ord``), the k-char fold is k vectorized
+    multiply-add-mod passes over the gram array, the window min is w
+    shifted ``np.minimum`` passes.  This exists because the Column version
+    nests three lambda HOFs (transform→aggregate→transform) which Spark
+    evaluates interpreted — ~4k fold steps per document.
+    """
+    P, B, S0 = S.POLY_P, S.POLY_BASE, S.POLY_SEED0
+
+    def one(text: str) -> list[int]:
+        codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        n = len(codes)
+        if n == 0:
+            return []
+        if n <= k:  # single gram = the whole (short) text
+            acc = S0
+            for c in codes:
+                acc = (acc * B + int(c)) % P
+            grams = np.array([acc], dtype=np.int64)
+        else:
+            n_grams = n - k + 1
+            acc = np.full(n_grams, S0, dtype=np.int64)
+            for d in range(k):
+                acc = (acc * B + codes[d : d + n_grams]) % P
+            grams = acc
+        if len(grams) <= w:
+            sel = np.array([grams.min()], dtype=np.int64)
+        else:
+            n_win = len(grams) - w + 1
+            m = grams[0:n_win].copy()
+            for d in range(1, w):
+                np.minimum(m, grams[d : d + n_win], out=m)
+            sel = m
+        return np.unique(sel).tolist()
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return fp

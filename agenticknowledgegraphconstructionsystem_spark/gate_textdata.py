@@ -533,11 +533,12 @@ FROM sel"""
 
 
 def q_winnow_dups(spark, sf_dir):
-    """Shift-tolerant near-dup pairs at fingerprint-Jaccard >= 0.3."""
+    """Shift-tolerant near-dup pairs at fingerprint-Jaccard >= 0.3 with
+    the max_df=50 boilerplate cut (both mirrored in the oracle)."""
     from .operators.dedup import winnow_near_duplicates
 
     pairs = winnow_near_duplicates(
-        _docs(spark, sf_dir), threshold=0.3, **WINNOW_GATE
+        _docs(spark, sf_dir), threshold=0.3, max_df=50, **WINNOW_GATE
     )
     return pairs.select(
         F.col("id_a").cast(_BIG).alias("id_a"),
@@ -554,9 +555,11 @@ def _o_winnow_dups() -> str:
     fr = Fraction("0.3")
     base = _o_winnow_fp()
     return f"""
-WITH fp AS ({base}
+WITH fp_all AS ({base}
 )
-, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+, dfc AS (SELECT fp, COUNT(*) AS _df FROM fp_all GROUP BY fp),
+fp AS (SELECT f.doc_id, f.fp FROM fp_all f JOIN dfc USING (fp) WHERE dfc._df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id

@@ -296,6 +296,7 @@ def winnow_near_duplicates(
     k: int = 8,
     w: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = 50,
 ) -> DataFrame:
     """Shift-tolerant near-dup pairs over winnowed fingerprint sets
     (textstats.winnow_fingerprints): pairs sharing >= 1 fingerprint are
@@ -306,13 +307,29 @@ def winnow_near_duplicates(
     blocker (never all-pairs); fingerprint density ~2/(w+1) keeps the set
     ~4x smaller than the gram universe.
 
+    ``max_df`` is the boilerplate cut (MOSS's standard move): a
+    fingerprint present in more than max_df documents is a shared phrase,
+    not duplication evidence, and its join bucket is df² pair rows —
+    excluded from BOTH the intersection and the set sizes, so the Jaccard
+    stays a consistent metric over the discriminative fingerprints.  Size
+    it as a fraction of the corpus in production (the pairwise df-cap
+    pattern); None disables.
+
     Output: (id_a, id_b, inter, sz_a, sz_b, jaccard) — same oracle-exact
     shape as the other dedup operators.
     """
     from .textstats import winnow_fingerprints
 
     num, den = _threshold_fraction(threshold)
+    # persist BEFORE the df branch: the winnowing expression (per-gram char
+    # folds) is the expensive subtree and feeds both the df count and the
+    # filtered fp table
     fp = _maybe_persist(winnow_fingerprints(docs, key, text_col, k, w), True)
+    if max_df is not None:
+        df_per_fp = fp.groupBy("fp").agg(F.count("*").alias("_df"))
+        fp = fp.join(
+            df_per_fp.where(F.col("_df") <= max_df), "fp"
+        ).drop("_df")
     sizes = fp.groupBy(key).agg(F.count("*").alias("sz"))
     a = fp.select(F.col(key).alias("id_a"), "fp")
     b = fp.select(F.col(key).alias("id_b"), "fp")

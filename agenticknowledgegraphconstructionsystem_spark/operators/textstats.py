@@ -132,6 +132,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     w: int = 4,
+    engine: str = "arrow",
 ) -> "DataFrame":
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS scheme): hash every char k-gram with the portable
@@ -142,13 +143,27 @@ def winnow_fingerprints(
     set (the rolling-hash upgrade the plain md5 :func:`fingerprint`
     docstring promises).
 
-    → (key, fp) distinct rows, fp BIGINT.  Entirely built-in expressions
-    (transform/slice/array_min over one scan) and exactly reproducible in
-    DuckDB SQL via the same poly/affine arithmetic — gate-checkable.
-    Documents shorter than k chars contribute their whole text as the
-    single gram; empty/NULL texts are excluded (no content to fingerprint).
+    → (key, fp) distinct rows, fp BIGINT.  Documents shorter than k chars
+    contribute their whole text as the single gram; empty/NULL texts are
+    excluded (no content to fingerprint).
+
+    engine='arrow' (default): vectorized int64 numpy kernel
+    (functions.hashing.winnow_fp_udf) — bit-identical to engine='column'
+    (pure built-in expressions, the DuckDB-oracle reference semantics);
+    the Column form nests three lambda HOFs which Spark evaluates
+    interpreted, so the kernel is the hot path and the Column form the
+    cross-engine specification.  Parity is pytest-pinned.
     """
     t = F.lower(F.col(text_col))
+    if engine == "arrow":
+        from ..functions.hashing import winnow_fp_udf
+
+        fp_udf = winnow_fp_udf(k, w)
+        return (
+            docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+            .select(F.col(key), F.explode(fp_udf(t)).alias("fp"))
+            .distinct()
+        )
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),

@@ -298,6 +298,17 @@ def test_winnow_fingerprints_properties(spark):
     assert len(by[4]) == 1
     n_grams = len("the quick brown fox jumps over the lazy dog") - 7
     assert len(by[0]) <= n_grams  # winnowing selects a subset of grams
+    # engine parity: the vectorized int64 kernel == the Column/oracle
+    # reference semantics, row for row
+    col = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(docs, k=8, w=4, engine="column").collect()
+    }
+    arrow = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(docs, k=8, w=4, engine="arrow").collect()
+    }
+    assert col == arrow
 
 
 # ---------------------------------------------------------------------------
