@@ -49,6 +49,7 @@ def main() -> None:
         "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
         "td_ann_cosine_topk": TEXT_QUERIES["td_ann_cosine_topk"],
         "td_emb_near_dup": TEXT_QUERIES["td_emb_near_dup"],
+        "td_winnow_dups": TEXT_QUERIES["td_winnow_dups"],
         "td_quality": TEXT_QUERIES["td_quality"],
         # relational heavies
         "rel_equi_join": REL_QUERIES["rel_equi_join"],
