@@ -86,6 +86,78 @@ def streaming_dedup(
     )
 
 
+_FP_COLLISION_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("first_url", T.StringType()),
+    ]
+)
+
+_FP_STATE_SCHEMA = T.StructType([T.StructField("first_url", T.StringType())])
+
+
+def _fp_collision_fn(key, pdf_iter, state: GroupState):
+    """Per-fingerprint state: the first document that produced it.  Every
+    later document carrying the same fingerprint emits a collision row
+    (url, first_url) — evidence of shared content."""
+    (fp,) = key
+    if state.exists:
+        (first_url,) = state.get
+    else:
+        first_url = None
+    out_urls: list[str] = []
+    for pdf in pdf_iter:
+        for url in pdf.sort_values("url")["url"]:
+            if first_url is None:
+                first_url = url
+            elif url != first_url:
+                out_urls.append(url)
+    state.update((first_url,))
+    if out_urls:
+        yield pd.DataFrame(
+            {"fp": [fp] * len(out_urls), "url": out_urls, "first_url": [first_url] * len(out_urls)}
+        )
+
+
+def streaming_fp_collisions(
+    docs_stream: DataFrame,
+    key: str = "url",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Streaming near-dup evidence for a continuously-crawled corpus:
+    winnow each incoming document (vectorized Arrow kernel — works per
+    micro-batch, stateless) and keep ONE state row per fingerprint (its
+    first document) via ``applyInPandasWithState``; later documents
+    sharing the fingerprint emit (fp, url, first_url) collision rows.
+    Downstream, `collisions.groupBy(url, first_url).count()` scores pair
+    similarity incrementally — no batch re-scan of the corpus as it grows.
+
+    State sizing: one small row per DISTINCT fingerprint — the winnowed
+    density is ~2/(w+1) of the k-gram universe, and dedup wants long
+    memory, so no timeout is set; on a real cluster the state store is
+    RocksDB-backed and sharded by fp (the natural balanced key).  The
+    within-batch arrival order is made deterministic by sorting on url.
+    """
+    from ..functions.hashing import winnow_fp_udf
+
+    fp_udf = winnow_fp_udf(k, w)
+    t = F.lower(F.col(text_col))
+    fps = (
+        docs_stream.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
+        .select(F.col(key).alias("url"), F.explode(fp_udf(t)).alias("fp"))
+    )
+    return fps.groupBy("fp").applyInPandasWithState(
+        _fp_collision_fn,
+        outputStructType=_FP_COLLISION_SCHEMA,
+        stateStructType=_FP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_mentions(pages_stream: DataFrame) -> DataFrame:
     """D1 over a stream — stateless narrow op, identical semantics to the
     batch detector (same Column expressions)."""

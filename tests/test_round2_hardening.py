@@ -553,6 +553,51 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
         assert by_id[i]["value"] == float(i)
 
 
+def test_streaming_fp_collisions(spark, tmp_path):
+    """Stateful streaming near-dup: fingerprint state persists across
+    micro-batches — a later near-copy collides against the batch-1
+    original; unrelated docs emit nothing."""
+    import glob
+    import shutil
+
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        run_available_now,
+        streaming_fp_collisions,
+    )
+
+    schema = "url string, text string"
+    b0 = [
+        Row(url="a1", text="the quick brown fox jumps over the lazy dog tonight"),
+        Row(url="a2", text="the quick brown fox jumps over the lazy dog tonight"),  # in-batch dup
+        Row(url="b1", text="completely unrelated material discussing shuffle internals"),
+    ]
+    b1 = [
+        Row(url="c1", text="PREFIX the quick brown fox jumps over the lazy dog tonight"),  # cross-batch near-copy
+        Row(url="d1", text="yet another disjoint body covering watermark semantics"),
+    ]
+    d = tmp_path / "fp_stream"
+    os.makedirs(d, exist_ok=True)
+    now = dt.datetime.now().timestamp()
+    for i, batch in enumerate([b0, b1]):
+        tmp = str(tmp_path / f"fp_stage{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = str(d / f"batch{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    rows = run_available_now(streaming_fp_collisions(stream), "fp_coll").collect()
+    pairs = {(r["url"], r["first_url"]) for r in rows}
+    assert ("a2", "a1") in pairs  # in-batch duplicate vs first-by-url
+    assert ("c1", "a1") in pairs  # cross-batch near-copy hits persisted state
+    assert all(u not in ("b1", "d1") for u, _ in pairs)  # disjoint docs silent
+    # collision volume for the near-copy ~= the shared fingerprint count
+    n_c1 = sum(1 for u, _ in ((r["url"], r["first_url"]) for r in rows) if u == "c1")
+    assert n_c1 >= 5
+
+
 def test_sessionize_matches_oracle_single_batch(spark, tmp_path):
     from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
         EVENTS_SCHEMA,
