@@ -298,7 +298,128 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
 FROM events"""
 
 
+# ---------------------------------------------------------------------------
+# Classic OLAP heavies (TPC-H Q1/Q3/Q5 analogs) — the multi-way-join +
+# wide-aggregation shapes a 100 TB analytics engine lives on.  Exactness:
+# every money figure is floor(expr·100) per ROW before summing (integer
+# cents — order-free), quantities floor to BIGINT, and the disc-price
+# expression is the same (price · (1 - disc)) · 100 parse tree in both
+# engines so the per-row double is bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Q1 analog: scan-heavy single-table aggregation with a date filter
+    pushed to the parquet reader; 4 aggregates per (returnflag,
+    linestatus) group — map-side partial HashAggregate."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1999-12-31").cast("timestamp")
+    )
+    disc_cents = F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100).cast(_BIG)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.floor(F.col("l_quantity")).cast(_BIG)).cast(_BIG).alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).cast(_BIG).alias("sum_base_cents"),
+        F.sum(disc_cents).cast(_BIG).alias("sum_disc_cents"),
+        F.count("*").cast(_BIG).alias("n_rows"),
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """Q3 analog: 3-way join (dim filters on both ends of the fact),
+    revenue per order, top-10 — broadcast the filtered customer dim, let
+    the orders⋈lineitem join shuffle on the key."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev = F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100).cast(_BIG)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast(_BIG).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast(_BIG).alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
+O_SHIPPING_PRIORITY = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10"""
+
+
+def q_local_volume(spark, sf_dir):
+    """Q5 analog: 6-way join through region→nation→customer→orders→
+    lineitem→supplier with the local-supplier constraint (c_nationkey =
+    s_nationkey); all dims broadcast, one fact shuffle."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100).cast(_BIG)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast(_BIG).alias("revenue_cents"))
+    )
+
+
+O_LOCAL_VOLUME = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name"""
+
+
 REL_QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_local_volume": q_local_volume,
     "rel_equi_join": q_equi_join,
     "rel_left_join_count": q_left_join_count,
     "rel_anti_join": q_anti_join,
@@ -318,6 +439,9 @@ REL_QUERIES = {
 }
 
 REL_ORACLES = {
+    "rel_pricing_summary": O_PRICING_SUMMARY,
+    "rel_shipping_priority": O_SHIPPING_PRIORITY,
+    "rel_local_volume": O_LOCAL_VOLUME,
     "rel_equi_join": O_EQUI_JOIN,
     "rel_left_join_count": O_LEFT_JOIN_COUNT,
     "rel_anti_join": O_ANTI_JOIN,

@@ -52,6 +52,9 @@ def main() -> None:
         "td_winnow_dups": TEXT_QUERIES["td_winnow_dups"],
         "td_quality": TEXT_QUERIES["td_quality"],
         # relational heavies
+        "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
+        "rel_shipping_priority": REL_QUERIES["rel_shipping_priority"],
+        "rel_local_volume": REL_QUERIES["rel_local_volume"],
         "rel_equi_join": REL_QUERIES["rel_equi_join"],
         "rel_window_dedup": REL_QUERIES["rel_window_dedup"],
         "rel_events_hourly": REL_QUERIES["rel_events_hourly"],
