@@ -65,11 +65,19 @@ def winnow_fp_udf(k: int, w: int):
     shifted ``np.minimum`` passes.  This exists because the Column version
     nests three lambda HOFs (transform→aggregate→transform) which Spark
     evaluates interpreted — ~4k fold steps per document.
+
+    Case contract: the kernel does NOT lowercase — the caller normalizes
+    case in the Spark plan (``F.lower``, as winnow_fingerprints does), so
+    all three paths (arrow / column / DuckDB ``lower()``) see the same JVM
+    case mapping.  A Python ``str.lower()`` here would diverge for
+    codepoints with full-vs-simple case mappings (e.g. U+0130 'İ' → 'i̇'
+    two codepoints in Python, one in some engines) and break the
+    advertised bit-parity; the non-ASCII parity pytest pins this.
     """
     P, B, S0 = S.POLY_P, S.POLY_BASE, S.POLY_SEED0
 
     def one(text: str) -> list[int]:
-        codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32).astype(
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int64
         )
         n = len(codes)

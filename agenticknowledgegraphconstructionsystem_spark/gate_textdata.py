@@ -598,8 +598,10 @@ def _o_ivf_ann() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
+  -- id reduced mod P before the affine multiply (mirrors the Spark pmod:
+  -- raw ids beyond ~9e9 or negative would overflow A·id in int64)
   SELECT vec_id AS centroid_id, v AS centroid FROM e
-  ORDER BY ({S.MINHASH_A[0]} * vec_id + {S.MINHASH_B[0]}) % {S.POLY_P} ASC, vec_id ASC
+  ORDER BY ({S.MINHASH_A[0]} * (((vec_id % {S.POLY_P}) + {S.POLY_P}) % {S.POLY_P}) + {S.MINHASH_B[0]}) % {S.POLY_P} ASC, vec_id ASC
   LIMIT {IVF_GATE["n_centroids"]}
 ),
 ascore AS (

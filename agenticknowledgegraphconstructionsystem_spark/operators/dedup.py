@@ -24,19 +24,22 @@ cross-multiplication (semantics.threshold_fraction), never float compares.
 
 from __future__ import annotations
 
-from fractions import Fraction
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import semantics as S
 from ..functions.hashing import minhash_col, poly_hash_col, simhash_vote_col
+from ..semantics import threshold_fraction as _threshold_fraction
 
 #: default LSH band-bucket cap — buckets above this emit no candidate pairs
 #: (they are non-discriminative and quadratic); far above anything the
 #: test scales produce, so correctness gates are unaffected.
 DEFAULT_MAX_BUCKET = 10_000
+
+#: intermediates persisted by :func:`_maybe_persist` that have not been
+#: released yet — see :func:`unpersist_tracked`
+_PERSISTED: list[DataFrame] = []
 
 
 def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
@@ -47,17 +50,32 @@ def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     (measured 2x end-to-end on minhash at sf0.1).  At petabyte scale the
     equivalent move is committing the signature table to storage first
     (exactly what plans/pipeline.py stage commits do); persist is the
-    in-plan analog and spills to disk under pressure."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK) if flag else df
+    in-plan analog and spills to disk under pressure.
+
+    Lifetime: these operators return lazy DataFrames, so the persist cannot
+    be released inside the operator (the caller has not run the action
+    yet).  Long-lived sessions issuing many dedup calls (the 20-query
+    bench, a session-scoped pytest SparkSession) should call
+    :func:`unpersist_tracked` after the final action on each result, or the
+    cached blocks accumulate until driver GC happens to drop them."""
+    if flag:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED.append(df)
+    return df
 
 
-def _threshold_fraction(threshold: float) -> tuple[int, int]:
-    """Exact (numerator, denominator) of the decimal the caller wrote —
-    Fraction(str(0.3)) == 3/10, so `jaccard >= threshold` becomes the
-    integer test `den·inter >= num·union` identically in Spark, DuckDB and
-    Python (no float boundary drift)."""
-    fr = Fraction(str(threshold))
-    return fr.numerator, fr.denominator
+def unpersist_tracked() -> int:
+    """Release every intermediate :func:`_maybe_persist` cached since the
+    last call (safe any time after the caller's final action — Spark will
+    just recompute if a plan is re-run).  Returns the number released."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            break
+    return n
 
 
 def exact_duplicates(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -123,27 +123,61 @@ def tfidf_cosine_edges(
     )
 
 
+#: df cap for the exact-blocking candidate path: char-3grams present in
+#: more than this many entity NAMES are excluded from *pairing* (not from
+#: the Jaccard verify).  Far above any gate/test-scale df, so the oracle
+#: is unaffected; at a 10^6-name dirty vocabulary it stops stop-trigrams
+#: ('ing', 'the', ' a ') from emitting df² candidate rows.
+DEFAULT_NAME_SHINGLE_MAX_DF = 10_000
+
+
+def dropped_name_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Audit view for the exact-blocking df cut: the (shingle, df) rows
+    excluded from pairing — same never-silent contract as
+    dedup.dropped_band_buckets."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+    )
+
+
 def similarity_edges(
     entities: DataFrame,
     threshold: float = 0.5,
     num_hashes: int = 16,
     blocking: str = "lsh",
+    max_df: int | None = DEFAULT_NAME_SHINGLE_MAX_DF,
 ) -> DataFrame:
     """→ (name_a, name_b, jaccard) for candidate pairs with exact char-3gram
     Jaccard >= threshold.
 
     blocking='lsh' (default): MinHash-band candidates — probabilistic
     recall (miss prob (1-j)^num_hashes), bucket-capped, the corpus-scale
-    path.  blocking='exact': candidates = every pair sharing >= 1 shingle
-    (any pair with j > 0 shares one, so recall is exactly 1) — the
-    oracle-checkable path; still join-blocked, never all-pairs, and the
-    entity-name universe is vocabulary-sized, so this is also safe at
-    corpus scale."""
+    path.  blocking='exact': candidates = every pair sharing >= 1 shingle —
+    the oracle-checkable path; still join-blocked, never all-pairs.
+
+    ``max_df`` (exact path only) is the hot-shingle cut: a shingle shared
+    by df names emits df² candidate rows, and at a 10^6-name vocabulary
+    stop-trigrams reach df ~ 10^5 → 10^10 rows from one shingle.  Shingles
+    with df > max_df are excluded from *pairing* only — the Jaccard verify
+    still counts them, so scores are unchanged; recall for j >= 0.5 pairs
+    survives via their rarer shared shingles (a pair whose ONLY shared
+    shingles are df-heavy boilerplate is exactly the pair the cut is meant
+    to reject).  Audit with :func:`dropped_name_shingles`; None disables.
+    The default cap is sized far above gate-scale dfs, so the
+    kg_canonicalize oracle sees the uncut pair space."""
     sh = name_shingles(entities)
     sizes = sh.groupBy("name").agg(F.count("*").alias("sz"))
     if blocking == "exact":
-        a = sh.select(F.col("name").alias("name_a"), "shingle")
-        b = sh.select(F.col("name").alias("name_b"), F.col("shingle").alias("shingle_x"))
+        pair_sh = sh
+        if max_df is not None:
+            dfc = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+            pair_sh = sh.join(
+                dfc.where(F.col("_df") <= max_df), "shingle"
+            ).drop("_df")
+        a = pair_sh.select(F.col("name").alias("name_a"), "shingle")
+        b = pair_sh.select(F.col("name").alias("name_b"), F.col("shingle").alias("shingle_x"))
         cand = (
             a.join(b, F.col("shingle") == F.col("shingle_x"))
             .where(F.col("name_a") < F.col("name_b"))
@@ -166,27 +200,40 @@ def similarity_edges(
         .agg(F.count("*").alias("inter"))
     )
     # threshold as exact integer cross-multiplication (den·inter >= num·union)
-    # so the DuckDB canonicalization oracle replicates the cut bit-for-bit
-    from fractions import Fraction
+    # so the DuckDB canonicalization oracle replicates the cut bit-for-bit;
+    # threshold_fraction bounds the denominator (a non-terminating threshold
+    # would overflow the int64 guard — semantics.THRESHOLD_MAX_DEN)
+    from ..semantics import threshold_fraction
 
-    fr = Fraction(str(threshold))
+    num, den = threshold_fraction(threshold)
     union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         inter.join(sizes.withColumnsRenamed({"name": "name_a", "sz": "sz_a"}), "name_a")
         .join(sizes.withColumnsRenamed({"name": "name_b", "sz": "sz_b"}), "name_b")
-        .where(F.col("inter") * fr.denominator >= F.lit(fr.numerator) * union)
+        .where(F.col("inter") * den >= F.lit(num) * union)
         .withColumn("jaccard", F.col("inter") / union)
         .select("name_a", "name_b", "jaccard")
     )
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """→ (name, component) via iterative min-label propagation.
+    """→ (name, component) via min-label propagation + pointer jumping.
 
-    component = min xxhash64 over the component's names; converges in
-    O(diameter) rounds; localCheckpoint every round cuts the lineage chain
-    (SURVEY §4: driver-side loop over DataFrame ops, checkpointed).
+    component = min xxhash64 over the component's names.  Each round does
+    (a) the neighbor-min propagation step and (b) a label-compression
+    ("pointer jumping" / shortcutting) step: every component value is the
+    hash of some member node, so joining the new labels back onto the
+    previous label table keyed by that hash pulls in that node's own
+    (possibly smaller) component — the distance information roughly doubles
+    per round, giving O(log diameter) convergence instead of O(diameter)
+    (a 31-node chain converges in 4 checked rounds; pytest-pinned).  The
+    default max_iter=20 therefore covers any component a real corpus can
+    produce; :func:`canonicalize` exposes it for pathological graphs.
+    localCheckpoint every round cuts the lineage chain (SURVEY §4:
+    driver-side loop over DataFrame ops, checkpointed).
     """
+    max_iter = max(int(max_iter), 1)  # the for/else warning needs >= 1 round
+    changed = -1  # unknown until the first convergence check
     sym = edges.select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
     ).unionByName(
@@ -221,6 +268,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # pointer jump through the PREVIOUS (checkpointed) label table:
+        # component is xxhash64 of some member node, so look that node up
+        # and take ITS component if smaller — one extra equi-join per round
+        # (the label table is vocabulary-sized) buys log-round convergence
+        lref = labels.select(
+            F.xxhash64("name").alias("_lh"), F.col("component").alias("_lc")
+        )
+        new_labels = (
+            new_labels.join(lref, new_labels.component == lref._lh, "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
+                ).alias("component"),
+            )
+        )
         new_labels = new_labels.localCheckpoint()
         # convergence check only on odd rounds: each check is a driver
         # action (a full job); min-label propagation never un-converges,
@@ -247,8 +310,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
         logging.getLogger(__name__).warning(
             "connected_components: not converged after %d iterations "
-            "(%d labels still changing); components may be split — "
-            "raise max_iter",
+            "(%d labels changing at last check; -1 = never checked); "
+            "components may be split — raise max_iter",
             max_iter,
             changed,
         )
@@ -260,19 +323,22 @@ def canonicalize(
     threshold: float = 0.5,
     scorer: str = "jaccard",
     blocking: str = "lsh",
+    max_iter: int = 20,
 ) -> DataFrame:
     """→ (name, canonical_name, component).  Canonical member = highest
     mention_count, tie-break lexicographically smallest name.  Singleton
     entities map to themselves.  scorer: 'jaccard' (exact set overlap) or
     'tfidf_cosine' (idf-weighted, favors matches on rare shingles);
-    blocking: see :func:`similarity_edges`."""
+    blocking: see :func:`similarity_edges`; max_iter: CC round bound
+    (pointer jumping makes 20 cover diameter ~2^20 — see
+    :func:`connected_components`)."""
     if scorer == "tfidf_cosine":
         edges = tfidf_cosine_edges(entities, threshold).withColumnRenamed(
             "cosine", "jaccard"
         )
     else:
         edges = similarity_edges(entities, threshold, blocking=blocking)
-    comp = connected_components(edges)
+    comp = connected_components(edges, max_iter=max_iter)
     members = entities.join(comp, "name", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.xxhash64("name"))
     )

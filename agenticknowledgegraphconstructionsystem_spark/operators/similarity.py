@@ -183,9 +183,17 @@ def ivf_ann_topk(
         F.col(id_col).alias("cid_src"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    # deterministic sample: smallest (A·id + B) mod P, tie on id
+    # deterministic sample: smallest (A·pmod(id, P) + B) mod P, tie on id.
+    # The id is reduced mod P BEFORE the affine multiply — raw ids beyond
+    # ~9e9 (stable_id()'s ~2^60 keys, xxhash64-derived keys, negative ids)
+    # would overflow A·id in int64 (silent wrap under non-ANSI Spark, an
+    # error in the DuckDB oracle); pmod keeps the operand < P ≈ 2^30 so the
+    # product stays < 2^60 for ANY input id, and the oracle SQL applies the
+    # identical ((id % P) + P) % P reduction.
     h = (
-        F.lit(S.MINHASH_A[0]).cast("long") * F.col("cid_src") + F.lit(S.MINHASH_B[0])
+        F.lit(S.MINHASH_A[0]).cast("long")
+        * F.pmod(F.col("cid_src").cast("long"), F.lit(S.POLY_P))
+        + F.lit(S.MINHASH_B[0])
     ) % F.lit(S.POLY_P)
     centroids = (
         c.orderBy(h.asc(), F.col("cid_src").asc())
@@ -193,38 +201,59 @@ def ivf_ann_topk(
         .select(F.col("cid_src").alias("centroid_id"), F.col("cvec").alias("centroid"))
     )
 
-    def nearest_cells(df, id_alias, vec_alias, n):
-        """n closest centroids per row by cosine (ties on centroid_id)."""
-        scored = df.crossJoin(F.broadcast(centroids)).select(
+    def centroid_scores(df, id_alias, vec_alias):
+        return df.crossJoin(F.broadcast(centroids)).select(
             F.col(id_alias),
             F.col(vec_alias),
             "centroid_id",
             pairwise_cosine_udf(F.col(vec_alias), F.col("centroid")).alias("c_cos"),
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .drop("_rn", "c_cos")
         )
 
     corp = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    assigned = nearest_cells(corp, "neighbor_id", "cv", 1)
+    # corpus→centroid argmax (n=1) as a map-side-combinable max(struct)
+    # HashAggregate — NOT a row_number window, which would shuffle + sort
+    # all n_centroids × corpus rows; this shuffles one row per doc.  The
+    # struct leads with c_cos then -centroid_id, so max() realizes
+    # (c_cos DESC, centroid_id ASC) — identical to the oracle's ranking.
+    # Only (neighbor_id, centroid_id) leave the aggregation; the wide
+    # vector joins back onto surviving candidates (same discipline as
+    # embedding_near_duplicates' band join).
+    assigned = (
+        centroid_scores(corp, "neighbor_id", "cv")
+        .groupBy("neighbor_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c_cos").alias("c"),
+                    (-F.col("centroid_id")).alias("negid"),
+                )
+            ).alias("b")
+        )
+        .select("neighbor_id", (-F.col("b.negid")).alias("centroid_id"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    probes = nearest_cells(q, "query_id", "qv", n_probe)
+    # query side keeps the window: n_probe > 1 rows per query, and the
+    # query set is broadcast-small by contract
+    qscored = centroid_scores(q, "query_id", "qv")
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .drop("_rn", "c_cos")
+    )
     cand = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
+    scored = cand.join(corp, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         pairwise_cosine_udf(F.col("qv"), F.col("cv")).alias("cosine"),

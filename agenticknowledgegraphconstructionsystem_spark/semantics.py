@@ -558,6 +558,39 @@ def affine_hash(h: int, a: int, b: int) -> int:
     return (a * h + b) % POLY_P
 
 
+#: largest denominator a similarity threshold may carry.  Thresholds become
+#: the integer test ``den·inter >= num·union`` in Spark AND DuckDB; with
+#: den <= 1e6 and set sizes <= ~9e12 every product stays < 2^63, so the
+#: comparison can never overflow int64 (Spark's default non-ANSI mode would
+#: silently wrap — wrong pairs kept/dropped — while DuckDB would raise,
+#: breaking the cross-engine exactness contract).
+THRESHOLD_MAX_DEN = 1_000_000
+
+
+def threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact (numerator, denominator) of the decimal the caller wrote —
+    Fraction(str(0.3)) == 3/10, so ``ratio >= threshold`` becomes the
+    integer test ``den·inter >= num·union`` identically in Spark, DuckDB
+    and Python (no float boundary drift).
+
+    The denominator is required to be <= THRESHOLD_MAX_DEN: thresholds must
+    be short decimals (0.5, 0.95, 0.125 …).  A non-terminating value like
+    1/3 would produce num/den ~ 3.3e15/1e16 and the integer guard would
+    overflow int64 once a set exceeds ~900 elements.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    if fr.denominator > THRESHOLD_MAX_DEN:
+        raise ValueError(
+            f"threshold {threshold!r} is not a short decimal "
+            f"(denominator {fr.denominator} > {THRESHOLD_MAX_DEN}); use a "
+            "terminating decimal like 0.3333 so the integer cross-"
+            "multiplication test cannot overflow int64"
+        )
+    return fr.numerator, fr.denominator
+
+
 def simhash_bit_vote(h: int, k: int) -> int:
     """+1 / -1 vote of token-hash ``h`` for simhash bit ``k`` (threshold at
     P/2, expressed as 2·x >= P so no division enters any engine)."""
