@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import semantics as S
-from .operators.entities import build_doc_concept_edges, build_entities, top_concepts
+from .operators.entities import (
+    build_doc_concept_edges,
+    build_entities,
+    build_entities_with_context,
+    top_concepts,
+)
 from .operators.mentions import clean_mentions, detect_mentions_native
 from .operators.relationships import discover_relationships
 from .operators.triples import build_triples
@@ -53,7 +58,7 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_entities(_mentions(spark, sf_dir))
+    e = build_entities_with_context(_mentions(spark, sf_dir))
     return e.select(
         "name",
         "concept_type",
@@ -61,6 +66,7 @@ def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_relevance_pct").cast(_BIG).alias("sum_relevance_pct"),
         F.col("max_relevance_pct").cast(_BIG).alias("max_relevance_pct"),
         F.col("min_relevance_pct").cast(_BIG).alias("min_relevance_pct"),
+        "first_context",
     )
 
 

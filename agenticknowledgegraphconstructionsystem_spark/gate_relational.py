@@ -416,8 +416,102 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name"""
 
 
+def q_big_group(spark, sf_dir):
+    """Q18 analog: large-group HAVING over a two-level aggregation.  The
+    scale-correct plan: lineitem partial-aggregates map-side per orderkey,
+    the HAVING filter leaves a tiny survivor set, and that set is BROADCAST
+    into orders (and the joined result broadcast into customer) — one full
+    scan of each table, zero fact-table shuffles.  TPC-H's re-group after
+    the join is redundant at orderkey grain, so the survivor's sum_qty is
+    carried through instead of re-aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor(F.col("l_quantity")).cast(_BIG)).cast(_BIG).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o_big = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (
+        c.join(F.broadcast(o_big), o_big.o_custkey == c.c_custkey)
+        .orderBy(
+            F.desc(_cents(F.col("o_totalprice"))),
+            F.asc("o_orderdate"),
+            F.asc("o_orderkey"),
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast(_BIG).alias("c_custkey"),
+            F.col("o_orderkey").cast(_BIG).alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+O_BIG_GROUP = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 250
+)
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+       sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_cents DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP / grouping-sets coverage (SURVEY §2.4 notes the reference
+    has none — engine completeness): quantity + revenue totals per
+    (returnflag, linestatus), per returnflag, and grand total, with the
+    standard grouping_id bitmask disambiguating rollup NULLs from data
+    NULLs.  One pass: Spark expands grouping sets before the partial
+    aggregate, so the whole thing stays map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100).cast(_BIG)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast(_BIG).alias("gid"),
+            F.sum(F.floor(F.col("l_quantity")).cast(_BIG)).cast(_BIG).alias("sum_qty"),
+            F.sum(rev).cast(_BIG).alias("revenue_cents"),
+            F.count("*").cast(_BIG).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "revenue_cents",
+            "n_rows",
+        )
+    )
+
+
+O_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
 REL_QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
+    "rel_big_group": q_big_group,
+    "rel_rollup": q_rollup,
     "rel_shipping_priority": q_shipping_priority,
     "rel_local_volume": q_local_volume,
     "rel_equi_join": q_equi_join,
@@ -440,6 +534,8 @@ REL_QUERIES = {
 
 REL_ORACLES = {
     "rel_pricing_summary": O_PRICING_SUMMARY,
+    "rel_big_group": O_BIG_GROUP,
+    "rel_rollup": O_ROLLUP,
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_local_volume": O_LOCAL_VOLUME,
     "rel_equi_join": O_EQUI_JOIN,

@@ -31,12 +31,12 @@ from ..semantics import NAME_MAX  # noqa: F401  (re-export convenience)
 
 def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
     """mentions → entities(entity_id, name, concept_type, mention_count,
-    sum_relevance_pct, max_relevance_pct, min_relevance_pct, first_context).
+    sum_relevance_pct, max_relevance_pct, min_relevance_pct).
 
     Two-phase salted aggregation; deterministic entity_id = xxhash64(name)
     (stable across runs — SURVEY §1.2 bans monotonically_increasing_id).
-    'Keep-first' description semantics (database.ts:109 COALESCE) use an
-    explicit min_by ordering key (earliest url), not arrival order.
+    For the reference's description payload use
+    :func:`build_entities_with_context`.
     """
     salted = mentions.withColumn(
         "salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
@@ -68,15 +68,30 @@ def build_entities(mentions: DataFrame, salt_buckets: int = 32) -> DataFrame:
 
 
 def entity_first_context(edges: DataFrame) -> DataFrame:
-    """Keep-first description semantics (database.ts:109 COALESCE keeps the
-    earliest write): the context of the lexicographically-first url per
-    entity, from the already-deduped edge table.  Runs on the edge table
-    (one row per (url, name)) — far smaller than the mentions fact table."""
+    """Keep-first description semantics (database.ts:109 ``COALESCE(
+    concepts.description, EXCLUDED.description)`` keeps the earliest
+    write): the context of the smallest url per entity, from the
+    already-deduped edge table.  Runs on the edge table (one row per
+    (url, name)) — far smaller than the mentions fact table.  The min is
+    over the url alone (unique per name in edges), realized as
+    min(struct) so context rides along without a second join."""
     return (
         edges.groupBy("name")
         .agg(F.min(F.struct("url", "context")).alias("f"))
         .select("name", F.col("f.context").alias("first_context"))
     )
+
+
+def build_entities_with_context(mentions: DataFrame) -> DataFrame:
+    """:func:`build_entities` + the reference's keep-first description
+    payload (concepts.description, db_init.py:57).  Composed at this level
+    so the count aggregation stays numeric-only (HashAggregate end-to-end,
+    see PLANS.md) while the string payload is selected over the much
+    smaller deduped edge table and joined back on name — at cluster scale
+    the entity side is vocabulary-sized, so this is a broadcast join."""
+    ents = build_entities(mentions)
+    fc = entity_first_context(build_doc_concept_edges(mentions))
+    return ents.join(fc, "name", "left")
 
 
 def build_doc_concept_edges(mentions: DataFrame) -> DataFrame:

@@ -71,6 +71,26 @@ entities AS (
 )"""
 
 
+def first_context_cte() -> str:
+    """CTEs: dedup_edges, first_ctx — the A8 best-mention edge dedup
+    (relevance DESC, pos ASC, context ASC per (doc, name)) followed by the
+    keep-first description rule (database.ts:109): context of the smallest
+    doc_id per name.  (doc_id, name) is unique in dedup_edges, so
+    arg_min(context, doc_id) is tie-free."""
+    return """
+dedup_edges AS (
+  SELECT doc_id, name, context FROM (
+    SELECT doc_id, name, context,
+           row_number() OVER (PARTITION BY doc_id, name
+                              ORDER BY relevance_pct DESC, pos ASC, context ASC) AS rn
+    FROM mentions) WHERE rn = 1
+),
+first_ctx AS (
+  SELECT name, arg_min(context, doc_id) AS first_context
+  FROM dedup_edges GROUP BY name
+)"""
+
+
 def _contains_any(col: str, keywords: tuple[str, ...]) -> str:
     return "(" + " OR ".join(f"contains({col}, '{kw}')" for kw in keywords) + ")"
 
@@ -297,10 +317,11 @@ KG_ORACLES: dict[str, str] = {
     + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, name, concept_type, relevance_pct, pos, context
 FROM mentions""",
-    "kg_entities": with_kg(entities_cte())
+    "kg_entities": with_kg(entities_cte(), first_context_cte())
     + """
-SELECT name, concept_type, mention_count, sum_relevance_pct, max_relevance_pct, min_relevance_pct
-FROM entities""",
+SELECT e.name, e.concept_type, e.mention_count, e.sum_relevance_pct,
+       e.max_relevance_pct, e.min_relevance_pct, f.first_context
+FROM entities e LEFT JOIN first_ctx f ON e.name = f.name""",
     "kg_top_concepts": with_kg(entities_cte())
     + """
 SELECT name, concept_type, mention_count FROM entities

@@ -23,7 +23,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.entities import build_doc_concept_edges, build_entities
+from ..operators.entities import (
+    build_doc_concept_edges,
+    build_entities,
+    build_entities_with_context,
+)
 from ..operators.extract import extract_docs
 from ..operators.linking import (
     canonicalize,
@@ -63,6 +67,8 @@ class Pipeline:
         link: bool = True,
         link_threshold: float = 0.5,
         dedup_docs: bool = False,
+        dedup_mode: str | None = None,
+        dedup_threshold: float = 0.5,
     ):
         """``link`` toggles the canonicalization stage.  Note the trade-off
         at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
@@ -70,18 +76,33 @@ class Pipeline:
         threshold for stricter linking, or disable for exact reference
         parity (the reference has no linking at all, db_init.py:56).
 
-        ``dedup_docs`` adds a corpus-hygiene stage after extraction: exact
-        content dedup (min-url keeper per content hash) before any
-        detection runs — the training-data-pipeline move that stops
+        ``dedup_mode`` adds a corpus-hygiene stage after extraction, before
+        any detection runs — the training-data-pipeline move that stops
         crawl duplicates from inflating mention_count and relationship
-        confidence.  Off by default for reference parity (the reference
-        ingests whatever arrives)."""
+        confidence (reference analog: the idempotent-ingest cluster,
+        database_utils.py:81-119, which dedups by exact url only):
+
+        - ``"exact"``  — content-hash dedup, min-url keeper per hash.
+        - ``"minhash"``/``"winnow"`` — exact pass first, then near-dup
+          pairs at >= ``dedup_threshold`` Jaccard (MinHash-LSH or winnowed
+          fingerprints), connected components over the pair graph, min-url
+          keeper per component; all non-keepers dropped.  Shift-tolerant:
+          a crawl copy with an added banner/prefix still collapses.
+
+        ``None`` (default) skips the stage for exact reference parity (the
+        reference ingests whatever arrives).  ``dedup_docs=True`` is the
+        older spelling of ``dedup_mode="exact"``.  Like every stage it
+        commits through StageStore with per-partition lineage and resume.
+        """
+        if dedup_mode not in (None, "exact", "minhash", "winnow"):
+            raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
         self.spark = spark
         self.store = StageStore(spark, out_dir)
         self.run_id = run_id
         self.link = link
         self.link_threshold = link_threshold
-        self.dedup_docs = dedup_docs
+        self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
+        self.dedup_threshold = dedup_threshold
         self._recomputed: list[str] = []
 
     # -- lineage ---------------------------------------------------------
@@ -199,6 +220,46 @@ class Pipeline:
             docs.where(F.col("extracted_text").isNull())
         )
 
+    def _near_dedup_docs(self, docs: DataFrame) -> DataFrame:
+        """Near-duplicate corpus dedup: exact pass first (catches identical
+        short docs the shingle/fingerprint blockers can't see), then
+        near-dup pairs at >= dedup_threshold Jaccard, connected components
+        over the pair graph (a crawl family A~B~C collapses to ONE keeper
+        even when A~C alone is below threshold), min-url keeper per
+        component, anti-join the losers out.
+
+        Scale shape: the pair generators are LSH/fingerprint-blocked with
+        capped hot buckets (operators/dedup.py); the CC runs on the pair
+        graph (|pairs| ~ duplicate families, not corpus size); the final
+        anti-join broadcasts nothing and shuffles on url only."""
+        from ..operators.dedup import minhash_near_duplicates, winnow_near_duplicates
+        from ..operators.linking import connected_components
+
+        base = self._dedup_docs(docs)
+        with_text = base.where(F.col("extracted_text").isNotNull())
+        if self.dedup_mode == "minhash":
+            pairs = minhash_near_duplicates(
+                with_text, key="url", text_col="extracted_text",
+                threshold=self.dedup_threshold,
+            )
+        else:
+            pairs = winnow_near_duplicates(
+                with_text, key="url", text_col="extracted_text",
+                threshold=self.dedup_threshold,
+            )
+        edges = pairs.select(
+            F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b")
+        )
+        cc = connected_components(edges)  # (name, component)
+        losers = (
+            cc.groupBy("component")
+            .agg(F.min("name").alias("keeper"))
+            .join(cc, "component")
+            .where(F.col("name") != F.col("keeper"))
+            .select(F.col("name").alias("url"))
+        )
+        return base.join(losers, "url", "left_anti")
+
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
     def ingest_increment(self, pages: DataFrame) -> DataFrame:
         """database.ts:66-81 semantics lifted to sets: extract ONLY pages
@@ -226,7 +287,12 @@ class Pipeline:
     # -- the pipeline ----------------------------------------------------
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         docs = self._stage("extract", lambda: extract_docs(pages))
-        if self.dedup_docs:
+        if self.dedup_mode in ("minhash", "winnow"):
+            docs = self._stage("dedup", lambda: self._near_dedup_docs(docs))
+            from ..operators.dedup import unpersist_tracked
+
+            unpersist_tracked()  # stage is committed; free cached fp/sig blocks
+        elif self.dedup_mode == "exact":
             docs = self._stage("dedup", lambda: self._dedup_docs(docs))
         raw_mentions = self._stage(
             "mentions", lambda: clean_mentions(detect_mentions_native(docs))
@@ -249,7 +315,11 @@ class Pipeline:
             )
         else:
             mentions = raw_mentions
-        entities = self._stage("entities", lambda: build_entities(mentions))
+        # entities carry the keep-first description payload
+        # (concepts.description, database.ts:109) via the deduped edge table
+        entities = self._stage(
+            "entities", lambda: build_entities_with_context(mentions)
+        )
         edges = self._stage("edges", lambda: build_doc_concept_edges(mentions))
         rels = self._stage(
             "relationships", lambda: discover_relationships(docs, mentions)

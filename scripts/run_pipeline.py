@@ -40,6 +40,18 @@ def main() -> None:
         help="corpus-hygiene stage: exact content dedup after extraction",
     )
     ap.add_argument(
+        "--dedup-mode",
+        choices=["exact", "minhash", "winnow"],
+        help="corpus-hygiene stage mode; minhash/winnow add near-dup "
+        "removal (CC keeper selection) on top of the exact pass",
+    )
+    ap.add_argument(
+        "--dedup-threshold",
+        type=float,
+        default=0.5,
+        help="near-dup Jaccard cut for --dedup-mode minhash/winnow",
+    )
+    ap.add_argument(
         "--link-threshold", type=float, default=0.5, help="canonicalization Jaccard cut"
     )
     ap.add_argument("--report", help="write validation-results.json here")
@@ -66,6 +78,8 @@ def main() -> None:
         link=not args.no_link,
         link_threshold=args.link_threshold,
         dedup_docs=args.dedup_docs,
+        dedup_mode=args.dedup_mode,
+        dedup_threshold=args.dedup_threshold,
     )
     res = p.run(pages)
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
