@@ -574,6 +574,57 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * {fr.denominator} >= {fr.numerator} * (sa.sz + sb.sz - inter)"""
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The pipeline dedup stage's keeper selection, gated end-to-end:
+    winnow near-dup pairs → connected components over the pair graph →
+    min-id keeper per component → survivors (everything not a loser).
+    Same parameters as td_winnow_dups so the pair layer is pinned twice."""
+    from .operators.dedup import near_dup_losers, winnow_near_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = winnow_near_duplicates(docs, threshold=0.3, max_df=50, **WINNOW_GATE)
+    losers = near_dup_losers(pairs).select(F.col("id").alias("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select(F.col("doc_id").cast(_BIG).alias("doc_id"))
+    )
+
+
+def _o_dedup_survivors() -> str:
+    from fractions import Fraction
+
+    fr = Fraction("0.3")
+    base = _o_winnow_fp()
+    return f"""
+WITH RECURSIVE fp_all AS ({base}
+),
+dfc AS (SELECT fp, COUNT(*) AS _df FROM fp_all GROUP BY fp),
+fp AS (SELECT f.doc_id, f.fp FROM fp_all f JOIN dfc USING (fp) WHERE dfc._df <= 50),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * {fr.denominator} >= {fr.numerator} * (sa.sz + sb.sz - inter)
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+walk(node, lab) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN sym e ON e.src = w.lab
+),
+comp AS (SELECT node, MIN(lab) AS root FROM walk GROUP BY node)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)"""
+
+
 IVF_GATE = dict(n_centroids=16, n_probe=4)
 
 
@@ -727,6 +778,7 @@ TEXT_QUERIES = {
     "td_emb_near_dup": q_emb_near_dup,
     "td_winnow_fp": q_winnow_fp,
     "td_winnow_dups": q_winnow_dups,
+    "td_dedup_survivors": q_dedup_survivors,
 }
 
 TEXT_ORACLES = {
@@ -748,4 +800,5 @@ TEXT_ORACLES = {
     "td_emb_near_dup": _o_emb_near_dup(),
     "td_winnow_fp": _o_winnow_fp(),
     "td_winnow_dups": _o_winnow_dups(),
+    "td_dedup_survivors": _o_dedup_survivors(),
 }

@@ -52,6 +52,13 @@ def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     (exactly what plans/pipeline.py stage commits do); persist is the
     in-plan analog and spills to disk under pressure.
 
+    The persist is EAGER (one count() populates the cache before the main
+    plan runs): a lazy persist still recomputes the subtree in every
+    branch of the FIRST action — the branches race their own cache
+    population (measured: winnow pair verify 7.0 s → 2.0 s at sf0.01
+    steady-state from this alone).  The count touches only the cached
+    columns, not the driver.
+
     Lifetime: these operators return lazy DataFrames, so the persist cannot
     be released inside the operator (the caller has not run the action
     yet).  Long-lived sessions issuing many dedup calls (the 20-query
@@ -61,6 +68,7 @@ def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     if flag:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         _PERSISTED.append(df)
+        df.count()
     return df
 
 
@@ -345,9 +353,13 @@ def winnow_near_duplicates(
     fp = _maybe_persist(winnow_fingerprints(docs, key, text_col, k, w), True)
     if max_df is not None:
         df_per_fp = fp.groupBy("fp").agg(F.count("*").alias("_df"))
-        fp = fp.join(
-            df_per_fp.where(F.col("_df") <= max_df), "fp"
-        ).drop("_df")
+        # the FILTERED table feeds three branches (sizes + both join
+        # sides) — persist it too, or the df-count subplan replays per
+        # branch (measured 3x at sf0.01)
+        fp = _maybe_persist(
+            fp.join(df_per_fp.where(F.col("_df") <= max_df), "fp").drop("_df"),
+            True,
+        )
     sizes = fp.groupBy(key).agg(F.count("*").alias("sz"))
     a = fp.select(F.col(key).alias("id_a"), "fp")
     b = fp.select(F.col(key).alias("id_b"), "fp")
@@ -366,6 +378,31 @@ def winnow_near_duplicates(
             "id_a", "id_b", "inter", "sz_a", "sz_b",
             (F.col("inter") / union).alias("jaccard"),
         )
+    )
+
+
+def near_dup_losers(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) near-dup pairs → the ids to DROP: connected components
+    over the pair graph (a crawl family A~B~C collapses to one keeper even
+    when A~C alone is below threshold), min-id canonical keeper per
+    component, everything else is a loser.
+
+    → (id).  The CC runs on the pair graph only (|pairs| ~ duplicate
+    families, not corpus size); component ids are internal — the output is
+    keyed on the original ids, so the xxhash64 labels never leak into an
+    oracle-compared column."""
+    from .linking import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b")
+    )
+    cc = connected_components(edges)  # (name, component)
+    return (
+        cc.groupBy("component")
+        .agg(F.min("name").alias("keeper"))
+        .join(cc, "component")
+        .where(F.col("name") != F.col("keeper"))
+        .select(F.col("name").alias("id"))
     )
 
 

@@ -232,8 +232,11 @@ class Pipeline:
         capped hot buckets (operators/dedup.py); the CC runs on the pair
         graph (|pairs| ~ duplicate families, not corpus size); the final
         anti-join broadcasts nothing and shuffles on url only."""
-        from ..operators.dedup import minhash_near_duplicates, winnow_near_duplicates
-        from ..operators.linking import connected_components
+        from ..operators.dedup import (
+            minhash_near_duplicates,
+            near_dup_losers,
+            winnow_near_duplicates,
+        )
 
         base = self._dedup_docs(docs)
         with_text = base.where(F.col("extracted_text").isNotNull())
@@ -247,17 +250,7 @@ class Pipeline:
                 with_text, key="url", text_col="extracted_text",
                 threshold=self.dedup_threshold,
             )
-        edges = pairs.select(
-            F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b")
-        )
-        cc = connected_components(edges)  # (name, component)
-        losers = (
-            cc.groupBy("component")
-            .agg(F.min("name").alias("keeper"))
-            .join(cc, "component")
-            .where(F.col("name") != F.col("keeper"))
-            .select(F.col("name").alias("url"))
-        )
+        losers = near_dup_losers(pairs).select(F.col("id").alias("url"))
         return base.join(losers, "url", "left_anti")
 
     # -- per-doc incremental ingest (D8 at row granularity) ---------------

@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partitioning follows DATA SIZE, not cluster size: by default AQE
+        # refuses to coalesce below the session parallelism
+        # (parallelismFirst=true), which leaves kilobyte-sized shuffle
+        # partitions paying per-task scheduling overhead on every small
+        # stage; with it off, the 64 MiB advisory size governs — small
+        # intermediates collapse to a handful of tasks, 100 TB shuffles
+        # still fan out by size
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

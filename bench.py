@@ -6,6 +6,11 @@ local[$SPARK_GRAFT_CPUS].  Each query is forced end-to-end with the noop
 writer (full materialization — count() alone would let Catalyst prune
 columns and under-report).
 
+Noise discipline (round-2 verdict): single-shot walls on this shared box
+swing up to 2x on identical code, so every headline number is the MIN of
+``SPARK_GRAFT_BENCH_REPEATS`` (default 3) runs; the raw per-run walls are
+appended to BENCH/history.jsonl for inspection.
+
 Output: {"metric": "total_bench_sec", "value": N, "unit": "sec",
          "queries": {name: sec}, "sf": ..., "throughput": {...}}
 """
@@ -22,9 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from agenticknowledgegraphconstructionsystem_spark.session import get_spark  # noqa: E402
 
 
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
 def _force(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _timed(fn) -> tuple[float, list[float]]:
+    """min-of-N wall plus the raw walls (N = REPEATS)."""
+    walls = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        fn()
+        walls.append(round(time.time() - t0, 3))
+    return min(walls), walls
 
 
 def main() -> None:
@@ -53,6 +71,8 @@ def main() -> None:
         "td_quality": TEXT_QUERIES["td_quality"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
+        "rel_big_group": REL_QUERIES["rel_big_group"],
+        "rel_rollup": REL_QUERIES["rel_rollup"],
         "rel_shipping_priority": REL_QUERIES["rel_shipping_priority"],
         "rel_local_volume": REL_QUERIES["rel_local_volume"],
         "rel_equi_join": REL_QUERIES["rel_equi_join"],
@@ -82,13 +102,17 @@ def main() -> None:
     gate_mod._mentions = _cached_mentions
 
     timings: dict[str, float] = {}
-    t0 = time.time()
-    _cached_mentions(spark, sf_dir)  # materialize once, timed on its own
-    timings["kg_detect_mentions"] = round(time.time() - t0, 3)
+    raw_walls: dict[str, list[float]] = {}
+
+    def record(name: str, fn) -> None:
+        timings[name], raw_walls[name] = _timed(fn)
+
+    # detection timed on the raw plan (min-of-N), then materialized once as
+    # the shared checkpoint the kg_* queries reuse
+    record("kg_detect_mentions", lambda: _force(_orig_mentions(spark, sf_dir)))
+    _cached_mentions(spark, sf_dir)
     for name, fn in bench_set.items():
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        record(name, lambda fn=fn: _force(fn(spark, sf_dir)))
 
     # entity linking + canonicalization (iterative — timed separately)
     from pyspark.sql import functions as F
@@ -101,15 +125,15 @@ def main() -> None:
         canonicalize,
     )
 
-    t0 = time.time()
     ents = build_entities(_mentions(spark, sf_dir)).select("name", "mention_count")
-    canonicalize(ents).write.format("noop").mode("overwrite").save()
-    timings["kg_canonicalize"] = round(time.time() - t0, 3)
+    record(
+        "kg_canonicalize",
+        lambda: canonicalize(ents).write.format("noop").mode("overwrite").save(),
+    )
 
     # canonicalize at 20× the name universe: deterministic suffix variants
     # inflate the vocabulary (more components, larger edge/CC rounds) so the
     # iterative stage's scaling is visible round-over-round
-    t0 = time.time()
     big_ents = (
         ents.crossJoin(spark.range(20).select(F.col("id").alias("_v")))
         .select(
@@ -117,28 +141,32 @@ def main() -> None:
             "mention_count",
         )
     )
-    canonicalize(big_ents).write.format("noop").mode("overwrite").save()
-    timings["kg_canonicalize_20x"] = round(time.time() - t0, 3)
+    record(
+        "kg_canonicalize_20x",
+        lambda: canonicalize(big_ents).write.format("noop").mode("overwrite").save(),
+    )
 
     # full-pairwise J3 with the document-frequency cap (the skew-safe path)
     from agenticknowledgegraphconstructionsystem_spark.operators.relationships import (
         pairwise_shared_concepts,
     )
 
-    t0 = time.time()
-    _force(pairwise_shared_concepts(_mentions(spark, sf_dir)))
-    timings["kg_pairwise_capped"] = round(time.time() - t0, 3)
+    record(
+        "kg_pairwise_capped",
+        lambda: _force(pairwise_shared_concepts(_mentions(spark, sf_dir))),
+    )
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples_df = KG_QUERIES["kg_triples"](spark, sf_dir)
     n_triples = n_triples_df.count()
     kg_sec = timings["kg_triples"]
     total = round(sum(timings.values()), 3)
-    record = {
+    out = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": REPEATS,
         "sf": sf_dir,
         "cpus": cpus,
         "throughput": {
@@ -148,14 +176,14 @@ def main() -> None:
             "n_triples": n_triples,
         },
     }
-    print(json.dumps(record))
-    # per-round history (append, never overwrite) so regressions are
-    # answerable round-over-round: BENCH/history.jsonl
+    print(json.dumps(out))
+    # per-round history (append, never overwrite) with the RAW walls so
+    # regressions and machine noise are answerable round-over-round
     try:
         hist_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
         os.makedirs(hist_dir, exist_ok=True)
         with open(os.path.join(hist_dir, "history.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": int(time.time()), **record}) + "\n")
+            f.write(json.dumps({"ts": int(time.time()), "walls": raw_walls, **out}) + "\n")
     except OSError:
         pass  # history is best-effort; the stdout contract must not break
     spark.stop()

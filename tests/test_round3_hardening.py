@@ -174,3 +174,78 @@ def test_unpersist_tracked_releases(spark):
     released = dedup.unpersist_tracked()
     assert released >= 1
     assert dedup._PERSISTED == []
+
+
+# -- stream/batch near-dup equivalence (round-2 verdict item 7) ---------------
+
+
+def test_streaming_fp_collisions_subset_of_batch_winnow(spark, tmp_path):
+    """The streaming fp-collision detector and the batch winnow near-dup
+    path must not drift apart: on the same static corpus, every streaming
+    collision pair (grouped, unordered) is a candidate pair of
+    winnow_near_duplicates at threshold 0 (>= 1 shared fingerprint,
+    max_df disabled — streaming keeps no df statistics), and the
+    per-pair collision count never exceeds the batch intersection size."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        run_available_now,
+        streaming_fp_collisions,
+    )
+
+    base = (
+        "the adaptive query execution layer rewrites shuffle plans at "
+        "runtime using observed partition statistics and skew hints"
+    )
+    alt = (
+        "watermark propagation across stateful operators bounds the "
+        "event time lag that late arriving records may exhibit downstream"
+    )
+    rows = [
+        Row(url="d01", text=base),
+        Row(url="d02", text="SITE BANNER. " + base),          # near-copy of d01
+        Row(url="d03", text=base + " trailing footer text."),  # near-copy of d01
+        Row(url="d04", text=alt),
+        Row(url="d05", text="prefix shift " + alt),           # near-copy of d04
+        Row(url="d06", text="entirely disjoint content about columnar codecs"),
+    ]
+    schema = "url string, text string"
+    # three mtime-ordered micro-batches
+    d = tmp_path / "eq_stream"
+    os.makedirs(d, exist_ok=True)
+    now = dt.datetime.now().timestamp()
+    for i, batch in enumerate([rows[:2], rows[2:4], rows[4:]]):
+        stage = str(tmp_path / f"eq_stage{i}")
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = glob.glob(f"{stage}/part-*.parquet")
+        dst = str(d / f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    coll = run_available_now(streaming_fp_collisions(stream), "eq_fp_coll")
+    stream_pairs = {
+        (min(r["url"], r["first_url"]), max(r["url"], r["first_url"])): r["n"]
+        for r in coll.groupBy("url", "first_url").agg(F.count("*").alias("n")).collect()
+    }
+    assert stream_pairs, "fixture must produce streaming collisions"
+
+    batch_pairs = {
+        (r["id_a"], r["id_b"]): r["inter"]
+        for r in dedup.winnow_near_duplicates(
+            spark.createDataFrame(rows, schema),
+            key="url", text_col="text", threshold=0.0, max_df=None,
+        ).collect()
+    }
+    missing = set(stream_pairs) - set(batch_pairs)
+    assert not missing, f"streaming pairs unknown to batch path: {missing}"
+    for pair, n in stream_pairs.items():
+        assert n <= batch_pairs[pair], (pair, n, batch_pairs[pair])
+    # the planted near-copies are seen by BOTH paths
+    assert ("d01", "d02") in stream_pairs and ("d04", "d05") in stream_pairs
