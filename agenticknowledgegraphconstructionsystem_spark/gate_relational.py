@@ -508,10 +508,135 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (gaps-and-islands) over events — the batch
+    twin of the streaming sessionize operator, 30-minute gap.  Micros and
+    integer cents keep the compare exact."""
+    from .operators.temporal import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.floor(F.col("value") * 100).cast(_BIG).alias("value"),
+        "event_id",
+    )
+    s = sessionize_batch(ev, gap_minutes=30)
+    return s.select(
+        F.col("user_id").cast(_BIG).alias("user_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast(_BIG).alias("n_events"),
+        F.col("sum_value").cast(_BIG).alias("sum_value_cents"),
+    )
+
+
+O_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM numbered GROUP BY user_id, sid"""
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each click picks up the latest prior purchase
+    value per user (quotes-onto-trades shape).  Spark side is the
+    union+carry-forward window (operators/temporal.py); oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from .operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", _cents(F.col("value")).alias("purchase_cents")
+    )
+    j = as_of_join(clicks, purchases, on=["user_id"], ts_col="ts",
+                   payloads=["purchase_cents"])
+    return j.select(
+        F.col("event_id").cast(_BIG).alias("event_id"),
+        F.col("user_id").cast(_BIG).alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("purchase_cents_asof").cast(_BIG).alias("purchase_cents_asof"),
+    )
+
+
+O_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+       CAST(p.purchase_cents AS BIGINT) AS purchase_cents_asof
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts"""
+
+
+def q_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (median / p90 of value per event_type) via the
+    explicit ordered-rank definition — value at row ceil(p * n) of the
+    per-group value ordering; no interpolation, no float arithmetic, so
+    the compare is exact.  Both engines restate the same definition."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("cents")))
+            .cast(_BIG).alias("p50_cents"),
+            F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("cents")))
+            .cast(_BIG).alias("p90_cents"),
+        )
+    )
+
+
+O_PERCENTILE_DISC = """
+WITH ranked AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(FLOOR(value * 100) AS BIGINT)) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN cents END) AS BIGINT) AS p90_cents
+FROM ranked GROUP BY event_type"""
+
+
 REL_QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_big_group": q_big_group,
     "rel_rollup": q_rollup,
+    "rel_sessionize": q_sessionize,
+    "rel_asof_join": q_asof_join,
+    "rel_percentile_disc": q_percentile_disc,
     "rel_shipping_priority": q_shipping_priority,
     "rel_local_volume": q_local_volume,
     "rel_equi_join": q_equi_join,
@@ -536,6 +661,9 @@ REL_ORACLES = {
     "rel_pricing_summary": O_PRICING_SUMMARY,
     "rel_big_group": O_BIG_GROUP,
     "rel_rollup": O_ROLLUP,
+    "rel_sessionize": O_SESSIONIZE,
+    "rel_asof_join": O_ASOF_JOIN,
+    "rel_percentile_disc": O_PERCENTILE_DISC,
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_local_volume": O_LOCAL_VOLUME,
     "rel_equi_join": O_EQUI_JOIN,

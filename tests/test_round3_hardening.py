@@ -249,3 +249,101 @@ def test_streaming_fp_collisions_subset_of_batch_winnow(spark, tmp_path):
         assert n <= batch_pairs[pair], (pair, n, batch_pairs[pair])
     # the planted near-copies are seen by BOTH paths
     assert ("d01", "d02") in stream_pairs and ("d04", "d05") in stream_pairs
+
+
+def test_sessionize_batch_is_streaming_superset(spark, tmp_path):
+    """The batch gaps-and-islands sessionizer (operators/temporal.py, gated
+    vs DuckDB as rel_sessionize) and the stateful streaming sessionizer
+    must agree: streaming-emitted (closed) sessions are EXACTLY the batch
+    sessions whose gap timeout precedes the final watermark
+    (session_end + gap < max_ts - watermark_delay); sessions still open
+    when the finite input ends are the only difference."""
+    import datetime as dt
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.temporal import (
+        sessionize_batch,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        sessionize,
+    )
+
+    t0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+
+    def ev(i, user, minutes, value):
+        return Row(
+            event_id=i, ts=t0 + dt.timedelta(minutes=minutes), user_id=user,
+            event_type="click", value=float(value), props="{}",
+        )
+
+    rows = [
+        # user 1: two sessions (gap 45 min > 30), then a trailing session
+        ev(0, 1, 0, 1), ev(1, 1, 10, 2), ev(2, 1, 55, 4), ev(3, 1, 60, 8),
+        ev(4, 1, 300, 16),
+        # user 2: one long session of closely spaced events, then another
+        ev(5, 2, 0, 1), ev(6, 2, 20, 2), ev(7, 2, 40, 4), ev(8, 2, 200, 8),
+        # user 3: single event
+        ev(9, 3, 0, 32),
+    ]
+    path = str(tmp_path / "sess_eq")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def norm(df):
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+             r["sum_value"])
+            for r in df.collect()
+        }
+
+    batch = norm(
+        sessionize_batch(spark.createDataFrame(rows, EVENTS_SCHEMA))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+    stream = norm(
+        run_available_now(
+            sessionize(spark.readStream.schema(EVENTS_SCHEMA).parquet(path)),
+            "sess_eq_stream",
+        )
+    )
+    assert stream <= batch, stream - batch
+    # the final watermark is max event time minus the 2 h watermark delay;
+    # exactly the batch sessions whose 30-min gap timeout precedes it close
+    watermark = max(r.ts for r in rows) - dt.timedelta(hours=2)
+    expected_closed = {
+        s for s in batch if s[2] + dt.timedelta(minutes=30) < watermark
+    }
+    assert stream == expected_closed
+    assert len(batch) == 6 and len(stream) == 4
+
+
+def test_as_of_join_semantics(spark):
+    """Backward as-of: latest right row with ts <= left ts per key; equal
+    timestamps match (<=); keys with no prior right row get NULL."""
+    import datetime as dt
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.temporal import (
+        as_of_join,
+    )
+
+    t = lambda m: dt.datetime(2025, 4, 1, 9, m)
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (1, t(2), "c"), (2, t(5), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50), (1, t(8), 80), (3, t(0), 99)],
+        "k long, ts timestamp, px long",
+    )
+    got = {
+        (r["k"], r["tag"], r["px_asof"])
+        for r in as_of_join(left, right, on=["k"], ts_col="ts", payloads=["px"]).collect()
+    }
+    assert got == {
+        (1, "a", 50),   # equal ts matches (<=)
+        (1, "b", 80),   # latest prior of several
+        (1, "c", None), # before any right row
+        (2, "d", None), # key absent from right
+    }
