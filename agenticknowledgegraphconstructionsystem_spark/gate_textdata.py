@@ -625,6 +625,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)"""
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by linear-idf tf-idf
+    (score = tf * N / df, floored at 1e6 scale — exact integer ratio in
+    both engines)."""
+    from .operators.textstats import tfidf_top_terms
+
+    t = tfidf_top_terms(_docs(spark, sf_dir), k=3)
+    return t.select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "term",
+        F.col("rank").cast(_BIG).alias("rank"),
+        F.col("score_e6").cast(_BIG).alias("score_e6"),
+    )
+
+
+O_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT doc_id, term,
+         CAST(FLOOR(tf * n_docs * 1000000 / df) AS BIGINT) AS score_e6
+  FROM tf JOIN dft USING (term), nd
+),
+ranked AS (
+  SELECT doc_id, term, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_e6 DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rank AS BIGINT) AS rank,
+       score_e6
+FROM ranked WHERE rank <= 3"""
+
+
 IVF_GATE = dict(n_centroids=16, n_probe=4)
 
 
@@ -779,6 +819,7 @@ TEXT_QUERIES = {
     "td_winnow_fp": q_winnow_fp,
     "td_winnow_dups": q_winnow_dups,
     "td_dedup_survivors": q_dedup_survivors,
+    "td_tfidf_topk": q_tfidf_topk,
 }
 
 TEXT_ORACLES = {
@@ -801,4 +842,5 @@ TEXT_ORACLES = {
     "td_winnow_fp": _o_winnow_fp(),
     "td_winnow_dups": _o_winnow_dups(),
     "td_dedup_survivors": _o_dedup_survivors(),
+    "td_tfidf_topk": O_TFIDF_TOPK,
 }

@@ -186,3 +186,61 @@ def winnow_fingerprints(
         .select(F.col(key), F.explode(sel).alias("fp"))
         .distinct()
     )
+
+
+def tfidf_top_terms(
+    docs: "DataFrame",
+    key: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Per-document keyword extraction: top-k terms by tf-idf with a
+    LINEAR idf (score = tf * N / df) — log-free so the score is a ratio
+    of exact integers and the DuckDB comparison is bit-exact (both
+    engines IEEE-divide the same int64 pair; the quotient is never within
+    an ulp of an integer boundary for corpus-scale N and df, so the
+    floor is stable).  Tokenization is the repo-standard whitespace split
+    (lowercase, non-empty — same as token_counts.ws_tokens).
+
+    → (key, term, rank, score_e6), rank 1..k ordered by
+    (score DESC, term ASC) — fully deterministic.
+
+    Scale shape: explode → one shuffle to (doc, term) tf pairs; df is a
+    map-side-combinable re-aggregation of the tf table (one row per
+    (doc, term), so hot stop-terms cost rows proportional to df, never
+    tf); the tf↔df equi-join shuffles on the term hash (balanced by
+    construction); the final per-doc top-k compiles to WindowGroupLimit
+    (rank pushdown — no full sort of the scored table).
+    """
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(key),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.where(F.col(text_col).isNotNull()).agg(
+        F.count("*").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(key),
+            "term",
+            F.floor(
+                F.col("tf") * F.col("n_docs") * F.lit(1_000_000) / F.col("df")
+            ).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score_e6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(key, "term", F.col("rank").cast("long").alias("rank"), "score_e6")
+    )
