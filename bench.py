@@ -68,6 +68,7 @@ def main() -> None:
         "td_ann_cosine_topk": TEXT_QUERIES["td_ann_cosine_topk"],
         "td_emb_near_dup": TEXT_QUERIES["td_emb_near_dup"],
         "td_winnow_dups": TEXT_QUERIES["td_winnow_dups"],
+        "td_tfidf_topk": TEXT_QUERIES["td_tfidf_topk"],
         "td_quality": TEXT_QUERIES["td_quality"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
@@ -78,6 +79,8 @@ def main() -> None:
         "rel_equi_join": REL_QUERIES["rel_equi_join"],
         "rel_window_dedup": REL_QUERIES["rel_window_dedup"],
         "rel_events_hourly": REL_QUERIES["rel_events_hourly"],
+        "rel_sessionize": REL_QUERIES["rel_sessionize"],
+        "rel_asof_join": REL_QUERIES["rel_asof_join"],
     }
 
     # warm the JVM/codegen once on the smallest table so per-query numbers
