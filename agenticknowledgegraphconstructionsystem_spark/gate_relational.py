@@ -591,6 +591,57 @@ FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts"""
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join (events into the sessions they belong to)
+    via time-bucket blocking — the non-equi theta join the naive plan
+    would run as BroadcastNestedLoop.  The oracle states the same result
+    as a plain inequality join, so the hash match proves the blocking
+    loses/duplicates nothing.  Every event lands in exactly one of its
+    user's sessions, so the output has one row per event."""
+    from .operators.temporal import interval_join, sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    sess = sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_start", "session_end"
+    )
+    j = interval_join(ev, sess, on=["user_id"])
+    return j.select(
+        F.col("event_id").cast(_BIG).alias("event_id"),
+        F.col("user_id").cast(_BIG).alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+    )
+
+
+O_INTERVAL_JOIN = """
+WITH marked AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       CAST(epoch_us(s.s) AS BIGINT) AS start_us,
+       CAST(epoch_us(s.e) AS BIGINT) AS end_us
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts >= s.s AND e.ts <= s.e"""
+
+
 def q_percentile_disc(spark, sf_dir):
     """Discrete percentiles (median / p90 of value per event_type) via the
     explicit ordered-rank definition — value at row ceil(p * n) of the
@@ -636,6 +687,7 @@ REL_QUERIES = {
     "rel_rollup": q_rollup,
     "rel_sessionize": q_sessionize,
     "rel_asof_join": q_asof_join,
+    "rel_interval_join": q_interval_join,
     "rel_percentile_disc": q_percentile_disc,
     "rel_shipping_priority": q_shipping_priority,
     "rel_local_volume": q_local_volume,
@@ -663,6 +715,7 @@ REL_ORACLES = {
     "rel_rollup": O_ROLLUP,
     "rel_sessionize": O_SESSIONIZE,
     "rel_asof_join": O_ASOF_JOIN,
+    "rel_interval_join": O_INTERVAL_JOIN,
     "rel_percentile_disc": O_PERCENTILE_DISC,
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_local_volume": O_LOCAL_VOLUME,

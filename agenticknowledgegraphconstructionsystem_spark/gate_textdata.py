@@ -387,6 +387,32 @@ def q_simhash_sigs(spark, sf_dir):
     )
 
 
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 via 4x16-bit quarter blocking
+    + capped buckets).  The oracle is BLOCKING-FREE (brute-force XOR +
+    bit_count all-pairs): the 4-quarter pigeonhole makes the blocked path
+    exact for Hamming <= 3, and at gate scale no bucket reaches the
+    10k cap — so a hash match proves the LSH path loses nothing."""
+    from .operators.dedup import simhash_near_duplicates
+
+    p = simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+    return p.select(
+        F.col("id_a").cast(_BIG).alias("id_a"),
+        F.col("id_b").cast(_BIG).alias("id_b"),
+        F.col("hamming").cast(_BIG).alias("hamming"),
+    )
+
+
+def _o_simhash_dups() -> str:
+    return f"""
+WITH sigs AS ({_o_simhash_sigs()}
+)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
 def _o_simhash_sigs() -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN {_sql_affine('h', S.SIMHASH_A[k], S.SIMHASH_B[k])} * 2 >= {S.POLY_P} "
@@ -813,6 +839,7 @@ TEXT_QUERIES = {
     "td_ann_cosine_topk": q_ann_cosine_topk,
     "td_minhash_dups": q_minhash_dups,
     "td_simhash_sigs": q_simhash_sigs,
+    "td_simhash_dups": q_simhash_dups,
     "td_rhp_ann_topk": q_rhp_ann,
     "td_ivf_ann_topk": q_ivf_ann,
     "td_emb_near_dup": q_emb_near_dup,
@@ -836,6 +863,7 @@ TEXT_ORACLES = {
     # so the hash compare pins candidate generation, not just the verdict
     "td_minhash_dups": _o_minhash_dups(),
     "td_simhash_sigs": _o_simhash_sigs(),
+    "td_simhash_dups": _o_simhash_dups(),
     "td_rhp_ann_topk": _o_rhp_ann(),
     "td_ivf_ann_topk": _o_ivf_ann(),
     "td_emb_near_dup": _o_emb_near_dup(),

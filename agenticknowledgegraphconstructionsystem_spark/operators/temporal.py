@@ -70,6 +70,47 @@ def sessionize_batch(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Point-in-interval join: every left row matched to the right
+    interval(s) [start, end] containing its timestamp, per key — the
+    events-into-sessions join.
+
+    Naively this is a non-equi theta join (Spark would pick
+    BroadcastNestedLoop or a cartesian per key).  The scale shape here is
+    LSH-style blocking on TIME: each right interval explodes to the
+    fixed-width buckets it overlaps, the left row maps to its single
+    bucket, and an equi join on (key, bucket) prunes the pair space to
+    same-bucket candidates before the exact range filter.  Cost is
+    O(|left| + Σ interval_span/bucket) join rows instead of |left|×|right|
+    per key; pick ``bucket_minutes`` near the typical interval length so
+    most intervals explode to ~2 buckets.
+
+    Matches use inclusive bounds (start <= ts <= end), duplicates
+    impossible because a left row lives in exactly one bucket.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b_us = bucket_minutes * 60 * 1_000_000
+    l_b = left.withColumn("_bucket", F.floor(us / b_us))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    r_b = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(s_us / b_us), F.floor(e_us / b_us))),
+    )
+    joined = l_b.join(r_b, [*on, "_bucket"]).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,

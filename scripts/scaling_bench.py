@@ -125,8 +125,20 @@ def main() -> None:
     # Spark's scaling rather than the CPU's frequency governor.
     n_lo, n_hi = 4, 16
     repl = 8 if "--quick" in sys.argv else 40
-    lo = run_level(n_lo, repl)
-    hi = run_level(n_hi, repl)
+    # Host noise on this shared box swings identical-code walls up to 2x
+    # for minutes at a time.  Alternating the levels across ROUNDS of
+    # subprocess runs (lo, hi, lo, hi) decorrelates slow windows from one
+    # level; min-per-level across rounds then approximates the quiet-
+    # machine wall for both.  Raw walls from every round are reported.
+    rounds = 1 if "--quick" in sys.argv else 2
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_level(n_lo, repl))
+        hi_runs.append(run_level(n_hi, repl))
+    lo = min(lo_runs, key=lambda r: r["wall_sec"])
+    hi = min(hi_runs, key=lambda r: r["wall_sec"])
+    lo["walls"] = [w for r in lo_runs for w in r["walls"]]
+    hi["walls"] = [w for r in hi_runs for w in r["walls"]]
     # E = (T_N * N) / (T_4N * 4N)
     eff = (lo["wall_sec"] * n_lo) / (hi["wall_sec"] * n_hi)
     summary = {
@@ -149,10 +161,15 @@ relationship discovery → triple materialization), noop-sink forced, warm-up
 pass excluded from timing.  Input: sf0.1 documents × {repl} replicas =
 {lo['n_docs']} docs, identical at both levels.
 
-| level | cores | wall (s) | docs/sec |
-|---|---|---|---|
-| N | 4 | {lo['wall_sec']} | {lo['docs_per_sec']} |
-| 4N | 16 | {hi['wall_sec']} | {hi['docs_per_sec']} |
+| level | cores | wall (s) | docs/sec | all walls (s) |
+|---|---|---|---|---|
+| N | 4 | {lo['wall_sec']} | {lo['docs_per_sec']} | {lo['walls']} |
+| 4N | 16 | {hi['wall_sec']} | {hi['docs_per_sec']} | {hi['walls']} |
+
+Protocol: {rounds} alternating round(s) of (N, 4N) subprocess runs, one
+warm-up + 3 timed passes per run, min per level across all rounds — the
+per-level wall lists above make host-noise interference inspectable
+(identical-code walls swing up to 2× on this shared sandbox).
 
 Scaling efficiency E = (T_N × 4) / (T_4N × 16) = **{eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
 

@@ -347,3 +347,47 @@ def test_as_of_join_semantics(spark):
         (1, "c", None), # before any right row
         (2, "d", None), # key absent from right
     }
+
+
+def test_windowed_counts_match_batch_hourly(spark, tmp_path):
+    """The watermarked streaming tumbling-window aggregation drained in
+    complete mode must equal the batch date_trunc-hour aggregation on the
+    same static events (integer cents — exact)."""
+    import datetime as dt
+
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        EVENTS_SCHEMA,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    t0 = dt.datetime(2025, 6, 1, 8, 0, 0)
+    rows = [
+        Row(event_id=i, ts=t0 + dt.timedelta(minutes=7 * i), user_id=i % 3,
+            event_type=("click", "view")[i % 2], value=float(i) + 0.25, props="{}")
+        for i in range(40)
+    ]
+    path = str(tmp_path / "hourly_eq")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    got = {
+        (r["window_start"], r["event_type"], r["n"], r["sum_cents"])
+        for r in run_available_now(
+            windowed_event_counts(stream), "hourly_eq", output_mode="complete"
+        ).collect()
+    }
+    batch = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    exp = {
+        (r["h"], r["event_type"], r["n"], r["sum_cents"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert got == exp and len(got) >= 8
