@@ -312,11 +312,37 @@ def q_pairwise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document PageRank over the co-mention graph (docs sharing >= 5
+    relevant concepts, symmetrized), 8 power iterations in exact int64
+    fixed-point (operators/graph.py) — the citation-rank query the
+    reference's graph schema exists to answer but never ships.  The
+    DuckDB oracle unrolls the same iterations as chained CTEs; scores
+    are bit-identical, not approximately equal."""
+    from .operators.graph import pagerank_fixed_point
+
+    m = _mentions(spark, sf_dir)
+    mf = m.where(F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT).select("url", "name")
+    a, b = mf.alias("a"), mf.alias("b")
+    kept = (
+        a.join(b, (F.col("a.name") == F.col("b.name")) & (F.col("a.url") < F.col("b.url")))
+        .groupBy(F.col("a.url").alias("da"), F.col("b.url").alias("db"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    edges = kept.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
+        kept.select(F.col("db").alias("src"), F.col("da").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=8)
+    return pr.select(F.col("node").cast(_BIG).alias("doc_id"), "pr")
+
+
 KG_QUERIES = {
     "kg_open_triples": q_open_triples,
     "kg_canonicalize": q_canonicalize,
     "kg_merge_upsert": q_merge_upsert,
     "kg_pairwise_shared": q_pairwise_shared,
+    "kg_pagerank": q_pagerank,
     "kg_mentions": q_mentions,
     "kg_entities": q_entities,
     "kg_top_concepts": q_top_concepts,

@@ -366,6 +366,49 @@ FROM documents""",
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
 
 
+def pagerank_sql(iters: int = 8, min_shared: int = 5) -> str:
+    """kg_pagerank oracle: the exact integer fixed-point power iteration
+    (operators/graph.py) unrolled as chained CTEs — standard SQL, no
+    recursion, bit-identical to the Spark loop.  The co-mention graph is
+    symmetric, so the dangling term is identically zero on both sides."""
+    from .operators.graph import DAMP_DEN, DAMP_NUM, PAGERANK_SCALE
+
+    base_cte = f"""
+mf AS (SELECT doc_id, name FROM mentions WHERE relevance_pct >= {S.MIN_RELEVANCE_PCT}),
+kept AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM mf a JOIN mf b ON a.name = b.name AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {min_shared}
+),
+edges AS (SELECT da AS src, db AS dst FROM kept UNION ALL SELECT db, da FROM kept),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST({PAGERANK_SCALE} // n AS BIGINT) AS pr FROM nodes, nn)"""
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""
+c{i} AS (
+  SELECT e.dst AS node, SUM(p.pr // o.od) AS s
+  FROM edges e JOIN outd o ON e.src = o.src JOIN pr{i - 1} p ON p.node = e.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT n.node,
+         CAST(({(DAMP_DEN - DAMP_NUM) * PAGERANK_SCALE} // ({DAMP_DEN} * nn.n))
+              + ({DAMP_NUM} * COALESCE(c.s, 0)) // {DAMP_DEN} AS BIGINT) AS pr
+  FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.node = n.node
+)""")
+    return (
+        with_kg(base_cte, *iter_ctes)
+        + f"""
+SELECT CAST(node AS BIGINT) AS doc_id, pr FROM pr{iters}"""
+    )
+
+
+KG_ORACLES["kg_pagerank"] = pagerank_sql()
+
+
 def canonicalize_sql() -> str:
     """D10/D11 oracle: char-3gram shingles of entity names, exact Jaccard
     >= 1/2 edges (integer cross-multiplication), connected components via a

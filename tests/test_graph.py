@@ -1,0 +1,62 @@
+"""pagerank_fixed_point vs a single-process integer oracle — including a
+dangling node (no out-edges), which the symmetric kg_pagerank gate graph
+cannot exercise."""
+
+from __future__ import annotations
+
+from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+    DAMP_DEN,
+    DAMP_NUM,
+    PAGERANK_SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _oracle(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    pr = {v: PAGERANK_SCALE // n for v in nodes}
+    base = ((DAMP_DEN - DAMP_NUM) * PAGERANK_SCALE) // (DAMP_DEN * n)
+    for _ in range(iters):
+        in_sum = {v: 0 for v in nodes}
+        for s, ds in out.items():
+            c = pr[s] // len(ds)
+            for d in ds:
+                in_sum[d] += c
+        dangling = sum(pr[v] for v in nodes if v not in out)
+        dang_share = (DAMP_NUM * dangling) // (DAMP_DEN * n)
+        pr = {
+            v: base + dang_share + (DAMP_NUM * in_sum[v]) // DAMP_DEN
+            for v in nodes
+        }
+    return pr
+
+
+def _run(spark, edges, iters=6):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed_point(df, iters=iters).collect()
+    }
+
+
+def test_pagerank_matches_oracle_with_dangling(spark):
+    # 5 -> hub 1; 4 is dangling (in-edges only)
+    edges = [(2, 1), (3, 1), (5, 1), (1, 2), (2, 3), (3, 4), (5, 4)]
+    got = _run(spark, edges)
+    exp = _oracle(edges, 6)
+    assert got == exp
+    # the hub out-ranks the leaf that only feeds it
+    assert got[1] > got[5]
+
+
+def test_pagerank_mass_bounded_and_deterministic(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    a = _run(spark, edges, iters=4)
+    b = _run(spark, edges, iters=4)
+    assert a == b
+    assert sum(a.values()) <= PAGERANK_SCALE
+    assert all(v > 0 for v in a.values())
