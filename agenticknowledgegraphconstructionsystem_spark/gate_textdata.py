@@ -691,6 +691,61 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= 3"""
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV cardinality sketch: distinct (doc, token)
+    incidences per language, k=64.  The synthetic corpus has only 31
+    distinct tokens (which would always hit the exact m < k branch), so
+    the gated value is the doc:token pair — thousands per language,
+    forcing the estimator branch; the exact branch is pytest-pinned
+    (test_sketches)."""
+    from .operators.sketches import kmv_distinct
+
+    toks = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "lang",
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+            ).alias("_t"),
+        )
+        .select(
+            "lang",
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("_t")).alias("tok"),
+        )
+    )
+    s = kmv_distinct(toks, "lang", "tok", k=64)
+    return s.select("lang", F.col("kmv_distinct").cast(_BIG).alias("kmv_distinct"))
+
+
+def _o_kmv_distinct() -> str:
+    from . import semantics as _S
+
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         CAST(doc_id AS VARCHAR) || ':' ||
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hs AS (SELECT DISTINCT lang,
+       {_sql_affine(_sql_poly('tok'), _S.MINHASH_A[0], _S.MINHASH_B[0])} AS h
+       FROM toks),
+ranked AS (
+  SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM hs
+),
+agg AS (
+  SELECT lang, MAX(CASE WHEN rn = 64 THEN h END) AS hk, COUNT(*) AS m
+  FROM ranked WHERE rn <= 64 GROUP BY lang
+)
+SELECT lang,
+       CAST(CASE WHEN m < 64 THEN m
+                 ELSE FLOOR({63 * _S.POLY_P} / hk) END AS BIGINT) AS kmv_distinct
+FROM agg"""
+
+
 IVF_GATE = dict(n_centroids=16, n_probe=4)
 
 
@@ -847,6 +902,7 @@ TEXT_QUERIES = {
     "td_winnow_dups": q_winnow_dups,
     "td_dedup_survivors": q_dedup_survivors,
     "td_tfidf_topk": q_tfidf_topk,
+    "td_kmv_distinct": q_kmv_distinct,
 }
 
 TEXT_ORACLES = {
@@ -871,4 +927,5 @@ TEXT_ORACLES = {
     "td_winnow_dups": _o_winnow_dups(),
     "td_dedup_survivors": _o_dedup_survivors(),
     "td_tfidf_topk": O_TFIDF_TOPK,
+    "td_kmv_distinct": _o_kmv_distinct(),
 }

@@ -1,0 +1,62 @@
+"""Deterministic cardinality sketch: K-Minimum-Values (KMV).
+
+`approx_count_distinct` (HyperLogLog++) is the built-in at 100 TB, but
+its estimates are engine-specific — useless for the cross-engine gate.
+KMV (Bar-Yossef et al., RANDOM'02) over the repo's portable poly hash is
+just as distributable (one distinct + one bounded top-k per group) and
+every step is integer arithmetic, so Spark and DuckDB agree bit-for-bit
+(gate: td_kmv_distinct).
+
+Estimator: with the k-th smallest of the distinct hash values h_k over a
+hash space of size P,  D̂ = (k-1)·P / h_k  (exact distinct count when the
+group has fewer than k distinct values).  Standard error ≈ 1/√(k-2), so
+k = 64 gives ~13% — pytest pins the accuracy band.
+
+Scale shape: distinct (group, hash) is one shuffle; the per-group k
+smallest compile to WindowGroupLimit (rank pushdown — each partition
+keeps only k candidates before the shuffle-sort), so state per group is
+bounded by k regardless of group size.  The sketch row (group, h_k, m)
+is also MERGEABLE across partitions/streams by construction — union the
+value sets and re-take the k minima.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from ..functions.hashing import affine_col, poly_hash_col
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """→ (group_col, kmv_distinct): deterministic distinct-count estimate
+    per group; exact when the group has < k distinct values."""
+    # the raw poly hash gives near-consecutive values to near-consecutive
+    # strings (the last char has weight BASE^0 = 1), which skews min-order
+    # statistics badly on structured keys; the affine permutation turns a
+    # stride-1 run into a stride-a run mod P — uniform enough for KMV, and
+    # still exactly reproducible in the DuckDB oracle
+    h = affine_col(poly_hash_col(F.col(value_col)), S.MINHASH_A[0], S.MINHASH_B[0])
+    hs = df.select(F.col(group_col), h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    ranked = hs.select(
+        group_col, "h", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    agg = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("hk"),
+        F.count("*").alias("m"),
+    )
+    # (k-1)*P = 63 * (1e9+7) ≈ 6.3e10 — exact in int64 AND in the double
+    # division below (quotient ulp « 1/hk), identical in DuckDB
+    est = F.when(F.col("m") < k, F.col("m")).otherwise(
+        F.floor(F.lit((k - 1) * S.POLY_P) / F.col("hk"))
+    )
+    return agg.select(
+        group_col, est.cast("long").alias("kmv_distinct")
+    )
