@@ -591,6 +591,69 @@ FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts >= p.ts"""
 
 
+def q_string_agg(spark, sf_dir):
+    """Ordered group-concat (string_agg / listagg capability): the 5
+    smallest orderkeys per priority as one comma-joined string.  Both
+    engines state the same explicit ordering (WindowGroupLimit top-5,
+    then join in key order) so the strings are byte-identical — the trap
+    with collect_list (unordered) is sidestepped by array_sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    top5 = o.select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast(_BIG).alias("k"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= 5)
+    return top5.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_list("k")), ",").alias("first_keys"),
+        F.count("*").cast(_BIG).alias("n"),
+    )
+
+
+O_STRING_AGG = """
+WITH top5 AS (
+  SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS first_keys,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM top5 WHERE rn <= 5 GROUP BY o_orderpriority"""
+
+
+def q_cube(spark, sf_dir):
+    """Full CUBE over (orderstatus, orderpriority) — all four grouping
+    sets in one pass (Expand + partial HashAggregate), grouping_id
+    disambiguating the ALL rows."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast(_BIG).alias("gid"),
+            F.count("*").cast(_BIG).alias("n"),
+            F.sum(_cents(F.col("o_totalprice"))).cast(_BIG).alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "gid",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+O_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
 def q_interval_join(spark, sf_dir):
     """Point-in-interval join (events into the sessions they belong to)
     via time-bucket blocking — the non-equi theta join the naive plan
@@ -689,6 +752,8 @@ REL_QUERIES = {
     "rel_asof_join": q_asof_join,
     "rel_interval_join": q_interval_join,
     "rel_percentile_disc": q_percentile_disc,
+    "rel_string_agg": q_string_agg,
+    "rel_cube": q_cube,
     "rel_shipping_priority": q_shipping_priority,
     "rel_local_volume": q_local_volume,
     "rel_equi_join": q_equi_join,
@@ -717,6 +782,8 @@ REL_ORACLES = {
     "rel_asof_join": O_ASOF_JOIN,
     "rel_interval_join": O_INTERVAL_JOIN,
     "rel_percentile_disc": O_PERCENTILE_DISC,
+    "rel_string_agg": O_STRING_AGG,
+    "rel_cube": O_CUBE,
     "rel_shipping_priority": O_SHIPPING_PRIORITY,
     "rel_local_volume": O_LOCAL_VOLUME,
     "rel_equi_join": O_EQUI_JOIN,

@@ -691,6 +691,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rank AS BIGINT) AS rank,
 FROM ranked WHERE rank <= 3"""
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample by key hash (sketches.hash_sample)
+    — same keys land in the sample across engines/runs/partitionings;
+    the pushdown-friendly filter form of reproducible train/holdout
+    splitting."""
+    from .operators.sketches import hash_sample
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_sample(d, "doc_id", percent=10).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id")
+    )
+
+
+def _o_hash_sample() -> str:
+    h = _sql_affine(f"(doc_id % {S.POLY_P})", S.MINHASH_A[1], S.MINHASH_B[1])
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE ({h}) % 100 < 10"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Deterministic KMV cardinality sketch: distinct (doc, token)
     incidences per language, k=64.  The synthetic corpus has only 31
@@ -903,6 +923,7 @@ TEXT_QUERIES = {
     "td_dedup_survivors": q_dedup_survivors,
     "td_tfidf_topk": q_tfidf_topk,
     "td_kmv_distinct": q_kmv_distinct,
+    "td_hash_sample": q_hash_sample,
 }
 
 TEXT_ORACLES = {
@@ -928,4 +949,5 @@ TEXT_ORACLES = {
     "td_dedup_survivors": _o_dedup_survivors(),
     "td_tfidf_topk": O_TFIDF_TOPK,
     "td_kmv_distinct": _o_kmv_distinct(),
+    "td_hash_sample": _o_hash_sample(),
 }

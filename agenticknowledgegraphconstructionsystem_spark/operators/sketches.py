@@ -29,6 +29,29 @@ from .. import semantics as S
 from ..functions.hashing import affine_col, poly_hash_col
 
 
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    percent: int,
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling by key hash: keep rows whose
+    affine-permuted key hash falls in the first ``percent``% of the hash
+    space.  The standard reproducible corpus-split move (train/holdout,
+    A/B cohorts): the same key always lands on the same side, across
+    runs, engines, and cluster sizes — unlike ``df.sample()``, whose
+    output depends on partitioning.  ``salt`` selects an independent
+    split (a different affine permutation)."""
+    if not 0 <= percent <= 100:
+        raise ValueError("percent must be in [0, 100]")
+    h = affine_col(
+        F.pmod(F.col(key_col).cast("long"), F.lit(S.POLY_P)),
+        S.MINHASH_A[salt],
+        S.MINHASH_B[salt],
+    )
+    return df.where(F.pmod(h, F.lit(100)) < percent)
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
