@@ -313,8 +313,9 @@ def q_pairwise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document PageRank over the co-mention graph (docs sharing >= 5
-    relevant concepts, symmetrized), 8 power iterations in exact int64
+    """Document PageRank over the co-mention graph (docs sharing >= 2
+    relevant NON-STOPWORD concepts — the pairwise df-cap cuts hot names
+    before pairing — symmetrized), 8 power iterations in exact int64
     fixed-point (operators/graph.py) — the citation-rank query the
     reference's graph schema exists to answer but never ships.  The
     DuckDB oracle unrolls the same iterations as chained CTEs; scores
@@ -323,12 +324,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _mentions(spark, sf_dir)
     mf = m.where(F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT).select("url", "name")
-    a, b = mf.alias("a"), mf.alias("b")
+    # document-frequency cap before pairing (the pairwise_shared_concepts
+    # skew discipline): a name in df docs contributes df² pair rows, so
+    # stopword-grade names are cut — mirrored exactly in the oracle
+    n_docs = mf.select("url").distinct().count()
+    cap = max(int(n_docs * 0.5), 100)
+    keep = (
+        mf.groupBy("name")
+        .agg(F.countDistinct("url").alias("df"))
+        .where(F.col("df") <= cap)
+        .select("name")
+    )
+    mfk = mf.join(F.broadcast(keep), "name")
+    a, b = mfk.alias("a"), mfk.alias("b")
     kept = (
         a.join(b, (F.col("a.name") == F.col("b.name")) & (F.col("a.url") < F.col("b.url")))
         .groupBy(F.col("a.url").alias("da"), F.col("b.url").alias("db"))
         .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 5)
+        .where(F.col("n_shared") >= 2)
     )
     edges = kept.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
         kept.select(F.col("db").alias("src"), F.col("da").alias("dst"))

@@ -58,6 +58,8 @@ def pagerank_fixed_point(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr", F.lit(0).cast("long"))
     out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg"))
     e = (
         edges.join(out_deg, src)

@@ -366,7 +366,7 @@ FROM documents""",
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
 
 
-def pagerank_sql(iters: int = 8, min_shared: int = 5) -> str:
+def pagerank_sql(iters: int = 8, min_shared: int = 2) -> str:
     """kg_pagerank oracle: the exact integer fixed-point power iteration
     (operators/graph.py) unrolled as chained CTEs — standard SQL, no
     recursion, bit-identical to the Spark loop.  The co-mention graph is
@@ -375,9 +375,14 @@ def pagerank_sql(iters: int = 8, min_shared: int = 5) -> str:
 
     base_cte = f"""
 mf AS (SELECT doc_id, name FROM mentions WHERE relevance_pct >= {S.MIN_RELEVANCE_PCT}),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM mf),
+dfn AS (SELECT name, COUNT(DISTINCT doc_id) AS df FROM mf GROUP BY name),
+keep AS (SELECT name FROM dfn, nd
+         WHERE df <= GREATEST(CAST(FLOOR(n * 0.5) AS BIGINT), 100)),
+mfk AS (SELECT mf.doc_id, mf.name FROM mf JOIN keep USING (name)),
 kept AS (
   SELECT a.doc_id AS da, b.doc_id AS db
-  FROM mf a JOIN mf b ON a.name = b.name AND a.doc_id < b.doc_id
+  FROM mfk a JOIN mfk b ON a.name = b.name AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {min_shared}
 ),
 edges AS (SELECT da AS src, db AS dst FROM kept UNION ALL SELECT db, da FROM kept),
