@@ -312,21 +312,14 @@ def q_pairwise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document PageRank over the co-mention graph (docs sharing >= 2
-    relevant NON-STOPWORD concepts — the pairwise df-cap cuts hot names
-    before pairing — symmetrized), 8 power iterations in exact int64
-    fixed-point (operators/graph.py) — the citation-rank query the
-    reference's graph schema exists to answer but never ships.  The
-    DuckDB oracle unrolls the same iterations as chained CTEs; scores
-    are bit-identical, not approximately equal."""
-    from .operators.graph import pagerank_fixed_point
-
+def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (da < db) co-mention edges: docs sharing >= 2 relevant
+    NON-STOPWORD concepts.  The document-frequency cap cuts hot names
+    before pairing (the pairwise_shared_concepts skew discipline: a name
+    in df docs contributes df² pair rows) — mirrored exactly in the
+    oracles' mf/nd/dfn/keep/mfk/kept CTEs."""
     m = _mentions(spark, sf_dir)
     mf = m.where(F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT).select("url", "name")
-    # document-frequency cap before pairing (the pairwise_shared_concepts
-    # skew discipline): a name in df docs contributes df² pair rows, so
-    # stopword-grade names are cut — mirrored exactly in the oracle
     n_docs = mf.select("url").distinct().count()
     cap = max(int(n_docs * 0.5), 100)
     keep = (
@@ -337,17 +330,43 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mfk = mf.join(F.broadcast(keep), "name")
     a, b = mfk.alias("a"), mfk.alias("b")
-    kept = (
+    return (
         a.join(b, (F.col("a.name") == F.col("b.name")) & (F.col("a.url") < F.col("b.url")))
         .groupBy(F.col("a.url").alias("da"), F.col("b.url").alias("db"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
+        .select("da", "db")
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document PageRank over the co-mention graph (symmetrized), 8 power
+    iterations in exact int64 fixed-point (operators/graph.py) — the
+    citation-rank query the reference's graph schema exists to answer
+    but never ships.  The DuckDB oracle unrolls the same iterations as
+    chained CTEs; scores are bit-identical, not approximately equal."""
+    from .operators.graph import pagerank_fixed_point
+
+    kept = _comention_edges(spark, sf_dir)
     edges = kept.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
         kept.select(F.col("db").alias("src"), F.col("da").alias("dst"))
     )
     pr = pagerank_fixed_point(edges, iters=8)
     return pr.select(F.col("node").cast(_BIG).alias("doc_id"), "pr")
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the same canonical co-mention edge
+    set (ordered-edge three-way join, operators/graph.py) — the
+    clustering-coefficient numerator, found once per triangle with no
+    post-dedup."""
+    from .operators.graph import triangle_counts
+
+    kept = _comention_edges(spark, sf_dir).select(
+        F.col("da").alias("src"), F.col("db").alias("dst")
+    )
+    t = triangle_counts(kept)
+    return t.select(F.col("node").cast(_BIG).alias("doc_id"), "n_triangles")
 
 
 KG_QUERIES = {
@@ -356,6 +375,7 @@ KG_QUERIES = {
     "kg_merge_upsert": q_merge_upsert,
     "kg_pairwise_shared": q_pairwise_shared,
     "kg_pagerank": q_pagerank,
+    "kg_triangles": q_triangles,
     "kg_mentions": q_mentions,
     "kg_entities": q_entities,
     "kg_top_concepts": q_top_concepts,

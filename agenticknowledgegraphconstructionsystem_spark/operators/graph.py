@@ -31,6 +31,44 @@ PAGERANK_SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
 
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    given as canonical edges (src < dst, distinct) — the clustering
+    primitive (cohesive KG neighborhoods vs star hubs).
+
+    The ordered-edge join: with every edge stored once as (lo, hi), a
+    triangle a<b<c is found exactly once as (a,b)⋈(b,c) wedge closed by
+    (a,c) — no double counting, no post-dedup.  Two equi-joins, both on
+    edge keys; the standard degree-ordering refinement (orient edges
+    from low- to high-degree instead of by id, bounding wedge fan-out by
+    arboricity) drops in by re-canonicalizing the edge list first —
+    plain id ordering keeps the DuckDB twin line-for-line (the gate
+    compares this exact form).
+
+    → (node, n_triangles), one row per node appearing in ≥ 1 triangle.
+    """
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+        .join(
+            e3,
+            (F.col(f"e3.{src}") == F.col(f"e1.{src}"))
+            & (F.col(f"e3.{dst}") == F.col(f"e2.{dst}")),
+        )
+        .select(
+            F.col(f"e1.{src}").alias("a"),
+            F.col(f"e1.{dst}").alias("b"),
+            F.col(f"e2.{dst}").alias("c"),
+        )
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",

@@ -366,14 +366,10 @@ FROM documents""",
 KG_ORACLES["kg_open_triples"] = open_triples_sql()
 
 
-def pagerank_sql(iters: int = 8, min_shared: int = 2) -> str:
-    """kg_pagerank oracle: the exact integer fixed-point power iteration
-    (operators/graph.py) unrolled as chained CTEs — standard SQL, no
-    recursion, bit-identical to the Spark loop.  The co-mention graph is
-    symmetric, so the dangling term is identically zero on both sides."""
-    from .operators.graph import DAMP_DEN, DAMP_NUM, PAGERANK_SCALE
-
-    base_cte = f"""
+def comention_kept_cte(min_shared: int = 2) -> str:
+    """CTEs mf..kept: the df-capped canonical (da < db) co-mention edge
+    set shared by kg_pagerank and kg_triangles (gate._comention_edges)."""
+    return f"""
 mf AS (SELECT doc_id, name FROM mentions WHERE relevance_pct >= {S.MIN_RELEVANCE_PCT}),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM mf),
 dfn AS (SELECT name, COUNT(DISTINCT doc_id) AS df FROM mf GROUP BY name),
@@ -384,7 +380,18 @@ kept AS (
   SELECT a.doc_id AS da, b.doc_id AS db
   FROM mfk a JOIN mfk b ON a.name = b.name AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {min_shared}
-),
+)"""
+
+
+def pagerank_sql(iters: int = 8, min_shared: int = 2) -> str:
+    """kg_pagerank oracle: the exact integer fixed-point power iteration
+    (operators/graph.py) unrolled as chained CTEs — standard SQL, no
+    recursion, bit-identical to the Spark loop.  The co-mention graph is
+    symmetric, so the dangling term is identically zero on both sides."""
+    from .operators.graph import DAMP_DEN, DAMP_NUM, PAGERANK_SCALE
+
+    base_cte = f"""
+{comention_kept_cte(min_shared)},
 edges AS (SELECT da AS src, db AS dst FROM kept UNION ALL SELECT db, da FROM kept),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -412,6 +419,24 @@ SELECT CAST(node AS BIGINT) AS doc_id, pr FROM pr{iters}"""
 
 
 KG_ORACLES["kg_pagerank"] = pagerank_sql()
+
+KG_ORACLES["kg_triangles"] = (
+    with_kg(comention_kept_cte())
+    + """
+, tri AS (
+  SELECT e1.da AS a, e1.db AS b, e2.db AS c
+  FROM kept e1
+  JOIN kept e2 ON e2.da = e1.db
+  JOIN kept e3 ON e3.da = e1.da AND e3.db = e2.db
+),
+members AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY node"""
+)
 
 
 def canonicalize_sql() -> str:

@@ -60,3 +60,16 @@ def test_pagerank_mass_bounded_and_deterministic(spark):
     assert a == b
     assert sum(a.values()) <= PAGERANK_SCALE
     assert all(v > 0 for v in a.values())
+
+
+def test_triangle_counts_known_graph(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant edge 4-5
+    # + disjoint triangle {6,7,8}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (6, 7), (6, 8), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}  # 5 absent
