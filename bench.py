@@ -63,6 +63,7 @@ def main() -> None:
         "kg_validation_summary": KG_QUERIES["kg_validation_summary"],
         "kg_open_triples": KG_QUERIES["kg_open_triples"],
         "kg_pagerank": KG_QUERIES["kg_pagerank"],
+        "kg_triangles": KG_QUERIES["kg_triangles"],
         # training-data ops
         "td_minhash_dups": TEXT_QUERIES["td_minhash_dups"],
         "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
