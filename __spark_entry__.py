@@ -4,6 +4,15 @@
 sf0.001.  ``queries()`` exposes one entry per implemented operator from
 SURVEY.md §2; ``oracle_sql()`` gives the exact DuckDB equivalent (generated
 from the same constants in ``semantics.py`` — see ``oracles.py``).
+
+The driver records CORRECTNESS rows for at most 50 queries (first 50 in
+insertion order).  The exported surface is curated to EXACTLY 50: all 19
+KG gates, then all 19 training-data gates (LSH/ANN/winnow/sketch — the
+engine's dedup story), then 12 relational gates (9 substantial queries +
+3 suites that fold the 15 single-shape micro-gates; see
+gate_relational.py REL_GATED_QUERIES).  Every implemented operator keeps
+a driver-visible hash gate; scripts/check_gate.py additionally sweeps the
+un-folded per-micro-gate set.
 """
 
 from __future__ import annotations
@@ -18,18 +27,7 @@ from agenticknowledgegraphconstructionsystem_spark.oracles import KG_ORACLES
 _EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _EXTRA_ORACLES: dict[str, str] = {}
 
-try:  # relational + training-data-pipeline operator suites (added as built)
-    from agenticknowledgegraphconstructionsystem_spark.gate_relational import (
-        REL_ORACLES,
-        REL_QUERIES,
-    )
-
-    _EXTRA_QUERIES.update(REL_QUERIES)
-    _EXTRA_ORACLES.update(REL_ORACLES)
-except ImportError:
-    pass
-
-try:
+try:  # training-data-pipeline suite (dedup/ANN/text-analysis) — before rel
     from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (
         TEXT_ORACLES,
         TEXT_QUERIES,
@@ -37,6 +35,17 @@ try:
 
     _EXTRA_QUERIES.update(TEXT_QUERIES)
     _EXTRA_ORACLES.update(TEXT_ORACLES)
+except ImportError:
+    pass
+
+try:  # relational operator parity (curated: heavies + 3 micro-gate suites)
+    from agenticknowledgegraphconstructionsystem_spark.gate_relational import (
+        REL_GATED_ORACLES,
+        REL_GATED_QUERIES,
+    )
+
+    _EXTRA_QUERIES.update(REL_GATED_QUERIES)
+    _EXTRA_ORACLES.update(REL_GATED_ORACLES)
 except ImportError:
     pass
 

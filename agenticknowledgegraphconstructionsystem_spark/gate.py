@@ -98,7 +98,19 @@ def q_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entity_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 rules over entities, with semantics.ENTITY_FINDING_SEEDS unioned
+    into the mentions input (the kg_open_triples seeding pattern) so each
+    rule family has at least one tripping row and the gate compares
+    non-empty sets; the oracle unions the identical literal rows."""
     m = _mentions(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [tuple(r) for r in S.ENTITY_FINDING_SEEDS],
+        "url long, name string, concept_type string, relevance_pct int, "
+        "pos int, context string",
+    )
+    for c in m.schema.fields:
+        seeds = seeds.withColumn(c.name, F.col(c.name).cast(c.dataType))
+    m = m.unionByName(seeds)
     return entity_findings(build_entities(m), build_doc_concept_edges(m))
 
 

@@ -66,10 +66,12 @@ FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey"""
 
 
-# J7 — anti join (database.ts:66-81 NOT EXISTS)
+# J7 — anti join (database.ts:66-81 NOT EXISTS).  The probe side is the
+# urgent-orders subset so the survivor set is non-empty at every sf (the
+# round-3 form probed ALL orders and hash-matched on 0 rows — vacuous).
 def q_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").cast(_BIG).alias("c_custkey"), "c_name"
     )
@@ -77,7 +79,8 @@ def q_anti_join(spark, sf_dir):
 
 O_ANTI_JOIN = """
 SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""
 
 
 # J9 — semi join existence probe (database.ts:320-326)
@@ -530,7 +533,7 @@ def q_sessionize(spark, sf_dir):
 
 O_SESSIONIZE = """
 WITH marked AS (
-  SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+  SELECT user_id, ts, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
                 OR LAG(epoch_us(ts)) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_s
@@ -539,7 +542,7 @@ WITH marked AS (
 ),
 numbered AS (
   SELECT user_id, ts, cents,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
@@ -562,8 +565,13 @@ def q_asof_join(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", _cents(F.col("value")).alias("purchase_cents")
+    # one row per (user_id, ts) on the right side — as_of_join's documented
+    # precondition; with tied right timestamps both the Spark carry-forward
+    # window and DuckDB ASOF would be free to pick either row
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents(F.col("value"))).alias("purchase_cents"))
     )
     j = as_of_join(clicks, purchases, on=["user_id"], ts_col="ts",
                    payloads=["purchase_cents"])
@@ -580,8 +588,8 @@ WITH clicks AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
 ),
 purchases AS (
-  SELECT user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
-  FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
 )
 SELECT CAST(c.event_id AS BIGINT) AS event_id,
        CAST(c.user_id AS BIGINT) AS user_id,
@@ -688,7 +696,7 @@ WITH marked AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 ),
@@ -742,6 +750,108 @@ SELECT event_type,
        CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
        CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN cents END) AS BIGINT) AS p90_cents
 FROM ranked GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Combined micro-gate suites.  The driver records CORRECTNESS rows for at
+# most 50 queries; round 3 exposed 65 and the 15 training-data gates fell
+# outside the window.  The 15 trivial relational micro-gates (single-shape
+# scans/joins/aggs) are folded into 3 suite queries so every gate fits:
+# each member's full result is stringified row-wise (columns in a stated
+# order, NULL → sentinel) and tagged with its gate name, then the members
+# are unioned.  The driver's order-insensitive hash over (gate, row_str)
+# pins exactly the same value set per member as 15 separate gates would —
+# a mismatch in ANY member's rows breaks the suite hash.  The DuckDB
+# oracle applies the identical stringification per member (same column
+# order, same sentinel) over the identical per-member SQL.
+# ---------------------------------------------------------------------------
+
+_NULL_SENTINEL = "@NULL@"
+
+
+def _norm_rows(df: DataFrame, gate: str) -> DataFrame:
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+        for c in df.columns
+    ]
+    return df.select(
+        F.lit(gate).alias("gate"), F.concat_ws("|", *cols).alias("row_str")
+    )
+
+
+def _norm_sql(gate: str, sql: str, cols: list[str]) -> str:
+    exprs = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '{_NULL_SENTINEL}')" for c in cols
+    )
+    return (
+        f"SELECT '{gate}' AS gate, concat_ws('|', {exprs}) AS row_str "
+        f"FROM ({sql})"
+    )
+
+
+def _suite_query(members):
+    def q(spark, sf_dir):
+        dfs = [_norm_rows(fn(spark, sf_dir), g) for g, fn, _sql, _cols in members]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    return q
+
+
+def _suite_oracle(members) -> str:
+    return "\nUNION ALL\n".join(
+        _norm_sql(g, sql, cols) for g, _fn, sql, cols in members
+    )
+
+
+# column lists restate each member query's select order — the row_str is
+# order-sensitive, so both engines must agree on it explicitly
+_JOIN_SUITE = [
+    ("equi_join", q_equi_join, O_EQUI_JOIN,
+     ["o_orderkey", "c_name", "n_name", "total_cents"]),
+    ("left_join_count", q_left_join_count, O_LEFT_JOIN_COUNT,
+     ["c_custkey", "n_orders"]),
+    ("anti_join", q_anti_join, O_ANTI_JOIN, ["c_custkey", "c_name"]),
+    ("semi_join", q_semi_join, O_SEMI_JOIN, ["c_custkey"]),
+]
+
+_AGG_SUITE = [
+    ("two_level_agg", q_two_level_agg, O_TWO_LEVEL_AGG,
+     ["avg_orders_per_cust_x100", "n_customers"]),
+    ("group_agg", q_group_agg, O_GROUP_AGG, ["o_orderstatus", "n", "sum_cents"]),
+    ("topk", q_topk, O_TOPK, ["o_custkey", "n"]),
+    ("conditional_agg", q_conditional_agg, O_CONDITIONAL_AGG,
+     ["o_orderstatus", "n_urgent", "n"]),
+    ("count_distinct", q_count_distinct, O_COUNT_DISTINCT,
+     ["o_orderstatus", "n_custs"]),
+    ("percentile_disc", q_percentile_disc, O_PERCENTILE_DISC,
+     ["event_type", "p50_cents", "p90_cents"]),
+    ("string_agg", q_string_agg, O_STRING_AGG,
+     ["o_orderpriority", "first_keys", "n"]),
+]
+
+_SCAN_SUITE = [
+    ("window_dedup", q_window_dedup, O_WINDOW_DEDUP,
+     ["o_custkey", "latest_orderkey"]),
+    ("case_buckets", q_case_buckets, O_CASE_BUCKETS, ["doc_id", "status"]),
+    ("point_lookup", q_point_lookup, O_POINT_LOOKUP,
+     ["c_custkey", "c_name", "c_mktsegment"]),
+    ("scan_order_limit", q_scan_order_limit, O_SCAN_ORDER_LIMIT,
+     ["o_orderkey", "o_orderdate"]),
+    ("union_dedup", q_union_dedup, O_UNION_DEDUP, ["o_custkey"]),
+    ("events_hourly", q_events_hourly, O_EVENTS_HOURLY,
+     ["hour", "event_type", "n", "sum_cents"]),
+    ("json_extract", q_json_extract, O_JSON_EXTRACT, ["event_id", "k"]),
+]
+
+q_join_suite = _suite_query(_JOIN_SUITE)
+q_agg_suite = _suite_query(_AGG_SUITE)
+q_scan_suite = _suite_query(_SCAN_SUITE)
+O_JOIN_SUITE = _suite_oracle(_JOIN_SUITE)
+O_AGG_SUITE = _suite_oracle(_AGG_SUITE)
+O_SCAN_SUITE = _suite_oracle(_SCAN_SUITE)
 
 
 REL_QUERIES = {
@@ -802,4 +912,38 @@ REL_ORACLES = {
     "rel_union_dedup": O_UNION_DEDUP,
     "rel_events_hourly": O_EVENTS_HOURLY,
     "rel_json_extract": O_JSON_EXTRACT,
+}
+
+# The curated surface exported to the driver (__spark_entry__): the 9
+# substantial relational queries stay standalone; the 15 micro-gates ride
+# the 3 suites.  Total driver surface = 19 kg + 19 td + 12 rel = 50.
+# scripts/check_gate.py still sweeps the full per-gate REL_QUERIES set.
+REL_GATED_QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_big_group": q_big_group,
+    "rel_rollup": q_rollup,
+    "rel_cube": q_cube,
+    "rel_sessionize": q_sessionize,
+    "rel_asof_join": q_asof_join,
+    "rel_interval_join": q_interval_join,
+    "rel_shipping_priority": q_shipping_priority,
+    "rel_local_volume": q_local_volume,
+    "rel_join_suite": q_join_suite,
+    "rel_agg_suite": q_agg_suite,
+    "rel_scan_suite": q_scan_suite,
+}
+
+REL_GATED_ORACLES = {
+    "rel_pricing_summary": O_PRICING_SUMMARY,
+    "rel_big_group": O_BIG_GROUP,
+    "rel_rollup": O_ROLLUP,
+    "rel_cube": O_CUBE,
+    "rel_sessionize": O_SESSIONIZE,
+    "rel_asof_join": O_ASOF_JOIN,
+    "rel_interval_join": O_INTERVAL_JOIN,
+    "rel_shipping_priority": O_SHIPPING_PRIORITY,
+    "rel_local_volume": O_LOCAL_VOLUME,
+    "rel_join_suite": O_JOIN_SUITE,
+    "rel_agg_suite": O_AGG_SUITE,
+    "rel_scan_suite": O_SCAN_SUITE,
 }

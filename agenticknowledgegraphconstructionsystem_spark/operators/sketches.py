@@ -41,14 +41,25 @@ def hash_sample(
     A/B cohorts): the same key always lands on the same side, across
     runs, engines, and cluster sizes — unlike ``df.sample()``, whose
     output depends on partitioning.  ``salt`` selects an independent
-    split (a different affine permutation)."""
+    split (a different affine permutation).
+
+    Numeric keys are reduced mod P directly; string keys go through the
+    portable char-fold ``poly_hash_col`` (a long-cast of a string key
+    would yield NULL → every row silently filtered — instead of an empty
+    "sample", non-hashable key types raise)."""
     if not 0 <= percent <= 100:
         raise ValueError("percent must be in [0, 100]")
-    h = affine_col(
-        F.pmod(F.col(key_col).cast("long"), F.lit(S.POLY_P)),
-        S.MINHASH_A[salt],
-        S.MINHASH_B[salt],
-    )
+    dtype = dict(df.dtypes)[key_col]
+    if dtype == "string":
+        base = poly_hash_col(F.col(key_col))
+    elif dtype in ("tinyint", "smallint", "int", "bigint"):
+        base = F.pmod(F.col(key_col).cast("long"), F.lit(S.POLY_P))
+    else:
+        raise TypeError(
+            f"hash_sample: key column {key_col!r} has type {dtype}; "
+            "only string and integer keys are hashable deterministically"
+        )
+    h = affine_col(base, S.MINHASH_A[salt], S.MINHASH_B[salt])
     return df.where(F.pmod(h, F.lit(100)) < percent)
 
 

@@ -59,15 +59,15 @@ mentions AS (
 )"""
 
 
-def entities_cte() -> str:
-    return """
+def entities_cte(src: str = "mentions") -> str:
+    return f"""
 entities AS (
   SELECT name, concept_type,
          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS mention_count,
          CAST(SUM(relevance_pct) AS BIGINT) AS sum_relevance_pct,
          CAST(MAX(relevance_pct) AS BIGINT) AS max_relevance_pct,
          CAST(MIN(relevance_pct) AS BIGINT) AS min_relevance_pct
-  FROM mentions GROUP BY name, concept_type
+  FROM {src} GROUP BY name, concept_type
 )"""
 
 
@@ -169,12 +169,12 @@ def _generic_list() -> str:
     return ", ".join(f"'{g}'" for g in S.GENERIC_TERMS)
 
 
-def entity_findings_cte() -> str:
+def entity_findings_cte(msrc: str = "mentions") -> str:
     """Rules E1-E4 over entities (+ link counts from mentions-dedup edges).
     Gate shape: one row per (item_key, rule, severity)."""
     return f"""
 links AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS link_count
-          FROM (SELECT DISTINCT doc_id, name FROM mentions) GROUP BY name),
+          FROM (SELECT DISTINCT doc_id, name FROM {msrc}) GROUP BY name),
 ent_base AS (
   SELECT e.*, COALESCE(l.link_count, 0) AS link_count FROM entities e LEFT JOIN links l USING (name)
 ),
@@ -332,7 +332,21 @@ SELECT CAST(source_doc_id AS BIGINT) AS source_doc_id,
        CAST(target_doc_id AS BIGINT) AS target_doc_id,
        rel_type, confidence_pct, n_shared, hi, med, lo, explanation
 FROM rels""",
-    "kg_entity_findings": with_kg(entities_cte(), entity_findings_cte())
+    "kg_entity_findings": with_kg(
+        # semantics.ENTITY_FINDING_SEEDS unioned into mentions so every rule
+        # family has a tripping row (mirrors gate.q_entity_findings)
+        "seeds(doc_id, name, concept_type, relevance_pct, pos, context) AS "
+        "(VALUES "
+        + ", ".join(
+            f"(CAST({d} AS BIGINT), '{n}', '{t}', CAST({r} AS BIGINT), "
+            f"CAST({p} AS BIGINT), '{c}')"
+            for d, n, t, r, p, c in S.ENTITY_FINDING_SEEDS
+        )
+        + ")",
+        "m2 AS (SELECT * FROM mentions UNION ALL SELECT * FROM seeds)",
+        entities_cte(src="m2"),
+        entity_findings_cte(msrc="m2"),
+    )
     + """
 SELECT item_kind, item_key, rule, severity FROM entity_findings""",
     "kg_relationship_findings": with_kg(relationships_cte(), relationship_findings_cte())

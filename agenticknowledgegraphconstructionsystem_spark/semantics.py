@@ -113,6 +113,20 @@ NAME_WARN_LEN = 100             # E2 warning (validation-agent.ts:107)
 EXPLANATION_MIN_LEN = 20        # R5 (validation-agent.ts:367)
 PLACEHOLDER_EXPLANATION = "not explicitly stated in abstract"  # validation-agent.ts:379
 
+#: Gate-seed mention rows — (doc_id, name, concept_type, relevance_pct,
+#: pos, context) — each tripping exactly one entity-validation rule, so the
+#: kg_entity_findings gate compares NON-empty sets at every sf (the
+#: synthetic corpus trips no E-rule on its own and the round-3 gate
+#: hash-matched on 0 rows — vacuous).  Negative doc_ids cannot collide
+#: with corpus documents; both the Spark gate and the DuckDB oracle derive
+#: the seed rows from this one tuple.
+ENTITY_FINDING_SEEDS = (
+    (-1, GENERIC_TERMS[0], "concept", 50, 1, "seed context"),  # E1 generic
+    (-2, "x", "concept", 50, 1, "seed context"),               # E2 too short
+    (-3, "z" * (NAME_WARN_LEN + 1), "concept", 50, 1, "seed context"),  # E2 warn
+    (-4, "seed perfect concept", "concept", 100, 1, "seed context"),  # E3 perfect
+)
+
 # ---------------------------------------------------------------------------
 # Gazetteer — the closed concept vocabulary (FIXTURES.md §2).
 #

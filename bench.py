@@ -36,12 +36,19 @@ def _force(df) -> int:
 
 
 def _timed(fn) -> tuple[float, list[float]]:
-    """min-of-N wall plus the raw walls (N = REPEATS)."""
+    """min-of-N wall plus the raw walls (N = REPEATS).  Eager persists the
+    dedup operators register are released after every run (the module's
+    own contract, dedup.py unpersist_tracked) — 27 queries x N repeats
+    would otherwise accumulate MEMORY_AND_DISK caches for the whole
+    session and skew later numbers under memory pressure."""
+    from agenticknowledgegraphconstructionsystem_spark.operators import dedup
+
     walls = []
     for _ in range(REPEATS):
         t0 = time.time()
         fn()
         walls.append(round(time.time() - t0, 3))
+        dedup.unpersist_tracked()
     return min(walls), walls
 
 

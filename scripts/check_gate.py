@@ -16,6 +16,11 @@ sys.path.insert(0, "/root/repo")
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 
+from agenticknowledgegraphconstructionsystem_spark.gate_relational import (  # noqa: E402
+    REL_ORACLES,
+    REL_QUERIES,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators import dedup  # noqa: E402
 from agenticknowledgegraphconstructionsystem_spark.session import get_spark  # noqa: E402
 
 TABLES = (
@@ -58,7 +63,13 @@ def main() -> None:
             )
         except duckdb.Error:
             pass
+    # driver surface (50 curated) + the un-folded relational micro-gates
+    # that ride the rel_*_suite combined queries in the driver view
     qs, os_ = queries(), oracle_sql()
+    for name in REL_QUERIES:
+        if name not in qs:
+            qs[name] = REL_QUERIES[name]
+            os_[name] = REL_ORACLES[name]
     failures = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
@@ -71,6 +82,11 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # release eager persists some operators (winnow/minhash verify
+            # stages) register — the module contract says the caller frees
+            # them after each query (dedup.py unpersist_tracked docstring)
+            dedup.unpersist_tracked()
         if name not in os_:
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only)")
             continue

@@ -1,0 +1,143 @@
+"""Round-4 hardening: driver gate surface is exactly 50 with every
+training-data gate inside the window, hash_sample handles string keys
+(ADVICE r3), the dedup persist contract drains to zero after a sweep,
+and the gate suites faithfully restate their member micro-gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agenticknowledgegraphconstructionsystem_spark.operators import dedup
+from agenticknowledgegraphconstructionsystem_spark.operators.sketches import (
+    hash_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_driver_surface_is_exactly_50_with_all_td_gates():
+    """The driver records CORRECTNESS rows for the first 50 queries() in
+    insertion order; round 3 exposed 65 and every LSH/ANN/winnow/sketch
+    gate fell outside the window.  Pin: exactly 50 entries, every td_
+    gate present, every query has an oracle with the same key set."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    names = list(qs)
+    assert len(names) == 50, names
+    assert set(names) == set(os_)
+    td = [n for n in names if n.startswith("td_")]
+    assert len(td) == 19, td
+    # kg + td both fully inside the window even if it shrank to 38
+    assert all(not n.startswith("rel_") for n in names[:38])
+
+
+def test_hash_sample_string_keys(spark):
+    df = spark.createDataFrame([Row(k=f"url-{i:04d}", v=i) for i in range(500)])
+    got = hash_sample(df, "k", percent=20)
+    n = got.count()
+    # ~20% of 500 with binomial noise; the old long-cast path returned 0
+    assert 40 <= n <= 160, n
+    # deterministic: same keys → same side, across invocations
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in hash_sample(df, "k", percent=20).collect()
+    )
+    # disjoint complement: percent p and the first p'-% with p' > p nest
+    sup = {r["k"] for r in hash_sample(df, "k", percent=50).collect()}
+    assert {r["k"] for r in got.collect()} <= sup
+
+
+def test_hash_sample_numeric_keys_unchanged(spark):
+    df = spark.createDataFrame([Row(k=i, v=i) for i in range(1000)])
+    n = hash_sample(df, "k", percent=10).count()
+    assert 40 <= n <= 200, n
+
+
+def test_hash_sample_rejects_unhashable_key_type(spark):
+    df = spark.createDataFrame([Row(k=1.5, v=1)])
+    with pytest.raises(TypeError, match="hash_sample"):
+        hash_sample(df, "k", percent=10)
+
+
+def test_dedup_persist_contract_drains(spark):
+    """dedup.py's own contract: callers release tracked persists after the
+    final action (bench.py and scripts/check_gate.py now do).  A dedup
+    query registers >= 1 persist; unpersist_tracked() drains the registry
+    to exactly zero and is idempotent."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pairs = dedup.minhash_near_duplicates(docs, key="doc_id", text_col="text")
+    pairs.count()
+    assert len(dedup._PERSISTED) >= 1
+    released = dedup.unpersist_tracked()
+    assert released >= 1
+    assert dedup._PERSISTED == []
+    assert dedup.unpersist_tracked() == 0
+
+
+def test_suites_restate_members(spark):
+    """Each suite row set equals the union of its members' stringified
+    rows — so a suite hash pins exactly what the 15 separate gates did."""
+    from agenticknowledgegraphconstructionsystem_spark.gate_relational import (
+        _AGG_SUITE,
+        _JOIN_SUITE,
+        _SCAN_SUITE,
+        _norm_rows,
+        q_agg_suite,
+        q_join_suite,
+        q_scan_suite,
+    )
+
+    for suite_q, members in [
+        (q_join_suite, _JOIN_SUITE),
+        (q_agg_suite, _AGG_SUITE),
+        (q_scan_suite, _SCAN_SUITE),
+    ]:
+        got = sorted(
+            (r["gate"], r["row_str"]) for r in suite_q(spark, SF).collect()
+        )
+        want = sorted(
+            (r["gate"], r["row_str"])
+            for g, fn, _sql, _cols in members
+            for r in _norm_rows(fn(spark, SF), g).collect()
+        )
+        assert got == want
+        assert len({g for g, _ in got}) == len(members)  # every member non-absent
+
+
+def test_suite_column_lists_match_member_queries(spark):
+    """The hardcoded per-member column lists (used to build the DuckDB
+    stringification) must equal the member DataFrame's column order."""
+    from agenticknowledgegraphconstructionsystem_spark.gate_relational import (
+        _AGG_SUITE,
+        _JOIN_SUITE,
+        _SCAN_SUITE,
+    )
+
+    for members in [_JOIN_SUITE, _AGG_SUITE, _SCAN_SUITE]:
+        for g, fn, _sql, cols in members:
+            assert fn(spark, SF).columns == cols, g
+
+
+def test_anti_join_gate_non_vacuous(spark):
+    from agenticknowledgegraphconstructionsystem_spark.gate_relational import (
+        q_anti_join,
+    )
+
+    assert q_anti_join(spark, SF).count() > 0
+
+
+def test_entity_findings_gate_non_vacuous(spark):
+    from agenticknowledgegraphconstructionsystem_spark.gate import (
+        q_entity_findings,
+    )
+
+    rows = q_entity_findings(spark, SF).collect()
+    rules = {r["rule"] for r in rows}
+    assert {
+        "no_generic_terms",
+        "name_too_short",
+        "name_too_long",
+        "suspicious_perfect_score",
+    } <= rules, rules
