@@ -326,29 +326,11 @@ def q_pairwise_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (da < db) co-mention edges: docs sharing >= 2 relevant
-    NON-STOPWORD concepts.  The document-frequency cap cuts hot names
-    before pairing (the pairwise_shared_concepts skew discipline: a name
-    in df docs contributes df² pair rows) — mirrored exactly in the
-    oracles' mf/nd/dfn/keep/mfk/kept CTEs."""
-    m = _mentions(spark, sf_dir)
-    mf = m.where(F.col("relevance_pct") >= S.MIN_RELEVANCE_PCT).select("url", "name")
-    n_docs = mf.select("url").distinct().count()
-    cap = max(int(n_docs * 0.5), 100)
-    keep = (
-        mf.groupBy("name")
-        .agg(F.countDistinct("url").alias("df"))
-        .where(F.col("df") <= cap)
-        .select("name")
-    )
-    mfk = mf.join(F.broadcast(keep), "name")
-    a, b = mfk.alias("a"), mfk.alias("b")
-    return (
-        a.join(b, (F.col("a.name") == F.col("b.name")) & (F.col("a.url") < F.col("b.url")))
-        .groupBy(F.col("a.url").alias("da"), F.col("b.url").alias("db"))
-        .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-        .select("da", "db")
-    )
+    concepts, df-capped before pairing — operators/graph.comention_edges,
+    mirrored exactly in the oracles' mf/nd/dfn/keep/mfk/kept CTEs."""
+    from .operators.graph import comention_edges
+
+    return comention_edges(_mentions(spark, sf_dir), key="url")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,35 +30,140 @@ from pyspark.sql import functions as F
 PAGERANK_SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 
+#: iterations actually executed by the last pagerank_fixed_point call on
+#: this driver — observability for the tol early-stop path (pytest pins
+#: that a converged graph stops before the iteration cap)
+LAST_PAGERANK_ITERS = 0
 
-def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+
+def comention_edges(
+    mentions: DataFrame,
+    key: str = "url",
+    min_relevance_pct: int | None = None,
+    min_shared: int = 2,
+    df_cap_frac: float = 0.5,
+    df_cap_min: int = 100,
+) -> DataFrame:
+    """Canonical (da < db) co-mention document edges: docs sharing >=
+    ``min_shared`` relevant concepts.  The document-frequency cap cuts
+    hot names BEFORE pairing (a name appearing in df docs contributes
+    df² pair rows — the pairwise_shared_concepts skew discipline);
+    banding redundancy is irrelevant here because the co-mention
+    semantics themselves exclude ubiquitous names as non-discriminative.
+    Shared by the kg_pagerank / kg_triangles gates (DuckDB twin: the
+    mf/nd/dfn/keep/mfk/kept CTEs) and the Pipeline's graph_metrics
+    stage."""
+    from .. import semantics as S
+
+    min_rel = S.MIN_RELEVANCE_PCT if min_relevance_pct is None else min_relevance_pct
+    mf = mentions.where(F.col("relevance_pct") >= min_rel).select(key, "name")
+    n_docs = mf.select(key).distinct().count()
+    cap = max(int(n_docs * df_cap_frac), df_cap_min)
+    keep = (
+        mf.groupBy("name")
+        .agg(F.countDistinct(key).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("name")
+    )
+    mfk = mf.join(F.broadcast(keep), "name")
+    a, b = mfk.alias("a"), mfk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.name") == F.col("b.name"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .groupBy(F.col(f"a.{key}").alias("da"), F.col(f"b.{key}").alias("db"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("da", "db")
+    )
+
+
+def degree_oriented_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Re-orient an undirected edge list (one row per edge, any
+    canonicalization) from the (degree, id)-smaller endpoint to the
+    larger one → columns (src, dst).
+
+    This is the standard triangle-enumeration preparation (Latapy 2008;
+    Suri & Vassilvitskii WWW'11 map-reduce form): after orienting, every
+    node's OUT-degree is bounded by O(sqrt(m)) — a hub of degree d keeps
+    its d edges, but they all point INTO it, so the wedge join
+    (a,b)⋈(b,c) pivots only on nodes with out-edges and its fan-out is
+    bounded by arboricity, not by d².  A star K_{1,d} produces ZERO
+    wedge candidates instead of ~d²/4 under mid-id canonical ordering
+    (pinned by the hub-skew pytest).
+
+    Total order: (deg(u), u) < (deg(v), v) — a strict total order on
+    endpoints, so each undirected edge keeps exactly one orientation and
+    the triangle a≺b≺c is stored as (a,b), (b,c), (a,c), found exactly
+    once by the wedge join.  Cost: one degree aggregation + two equi
+    joins on the endpoint key — all map-side combinable / shuffled on
+    node id, no skew beyond the graph's own degree distribution.
+    """
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias(src), F.col("deg").alias("_deg_s")), src
+        ).join(
+            deg.select(F.col("node").alias(dst), F.col("deg").alias("_deg_d")), dst
+        )
+    )
+    src_first = (F.col("_deg_s") < F.col("_deg_d")) | (
+        (F.col("_deg_s") == F.col("_deg_d")) & (F.col(src) < F.col(dst))
+    )
+    return e.select(
+        F.when(src_first, F.col(src)).otherwise(F.col(dst)).alias("src"),
+        F.when(src_first, F.col(dst)).otherwise(F.col(src)).alias("dst"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    degree_orient: bool = True,
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph
-    given as canonical edges (src < dst, distinct) — the clustering
-    primitive (cohesive KG neighborhoods vs star hubs).
+    given as canonical edges (one row per edge, distinct) — the
+    clustering primitive (cohesive KG neighborhoods vs star hubs).
 
-    The ordered-edge join: with every edge stored once as (lo, hi), a
-    triangle a<b<c is found exactly once as (a,b)⋈(b,c) wedge closed by
-    (a,c) — no double counting, no post-dedup.  Two equi-joins, both on
-    edge keys; the standard degree-ordering refinement (orient edges
-    from low- to high-degree instead of by id, bounding wedge fan-out by
-    arboricity) drops in by re-canonicalizing the edge list first —
-    plain id ordering keeps the DuckDB twin line-for-line (the gate
-    compares this exact form).
+    The ordered-edge join: with every edge stored once as (lo, hi) under
+    a strict total order ≺, a triangle a≺b≺c is found exactly once as
+    (a,b)⋈(b,c) wedge closed by (a,c) — no double counting, no
+    post-dedup.  By default the order is (degree, id)
+    (:func:`degree_oriented_edges`), which bounds the wedge fan-out by
+    arboricity instead of O(d²) on hub vertices; the DuckDB gate twin
+    applies the identical re-orientation CTE.  ``degree_orient=False``
+    keeps the caller's id ordering (the counts are identical — order
+    choice only changes the candidate-wedge count, pinned by pytest).
 
     → (node, n_triangles), one row per node appearing in ≥ 1 triangle.
     """
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    oriented = (
+        degree_oriented_edges(edges, src, dst)
+        if degree_orient
+        else edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
-        e1.join(e2, F.col(f"e1.{dst}") == F.col(f"e2.{src}"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col(f"e3.{src}") == F.col(f"e1.{src}"))
-            & (F.col(f"e3.{dst}") == F.col(f"e2.{dst}")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col(f"e1.{src}").alias("a"),
-            F.col(f"e1.{dst}").alias("b"),
-            F.col(f"e2.{dst}").alias("c"),
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
     )
     members = (
@@ -74,9 +179,25 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     iters: int = 8,
+    tol: int | None = None,
 ) -> DataFrame:
     """(src, dst) directed edge list (pre-deduplicated) → (node, pr)
     after ``iters`` power iterations, pr an int64 fixed-point score.
+
+    ``tol``: optional early stop — when the L1 delta of the int64 score
+    vector between consecutive iterations is <= tol, remaining
+    iterations are skipped.  The delta is one scalar aggregate, checked
+    every 2nd round (the CC convergence-check discipline: integer power
+    iteration never un-converges, so halving the serial job count costs
+    at worst one already-converged round).  The gated default stays
+    ``iters=8, tol=None`` so the DuckDB unrolled-CTE oracle is
+    untouched.  Early stop is a pure prefix: stopping after k iterations
+    yields bit-identical scores to a tol-free run with iters=k
+    (pytest-pinned) — convergence mode never changes WHAT is computed,
+    only how many rounds run.  The integer delta decays geometrically
+    (factor ≈ damping·|λ2|), so tol ≈ SCALE·1e-5 typically halves the
+    default round count; tol=0 runs to the exact integer fixed point if
+    one is reached within ``iters``.
 
     Per iteration, with N nodes and S = PAGERANK_SCALE:
 
@@ -115,7 +236,10 @@ def pagerank_fixed_point(
     # `iters` driver round-trips (measured 16.7 s → ~8 s at sf0.1)
     dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint()
     any_dangling = bool(dangling_nodes.head(1))
-    for _ in range(iters):
+    global LAST_PAGERANK_ITERS
+    LAST_PAGERANK_ITERS = 0
+    for it in range(iters):
+        LAST_PAGERANK_ITERS = it + 1
         contribs = e.join(scores, e.e_src == scores.node).select(
             F.col("e_dst").alias("node"),
             F.floor(F.col("pr") / F.col("out_deg")).cast("long").alias("c"),
@@ -129,7 +253,7 @@ def pagerank_fixed_point(
             else 0
         )
         dang_share = (DAMP_NUM * int(dangling)) // (DAMP_DEN * n)
-        scores = (
+        new_scores = (
             nodes.join(in_sum, "node", "left")
             .select(
                 "node",
@@ -144,4 +268,20 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
+        if tol is not None and (it % 2 == 1 or it == iters - 1):
+            delta = (
+                new_scores.alias("n")
+                .join(scores.alias("o"), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("n.pr") - F.col("o.pr"))), F.lit(0)
+                    )
+                )
+                .first()[0]
+            )
+            scores = new_scores
+            if int(delta) <= tol:
+                break
+        else:
+            scores = new_scores
     return scores

@@ -271,19 +271,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # pointer jump through the PREVIOUS (checkpointed) label table:
         # component is xxhash64 of some member node, so look that node up
         # and take ITS component if smaller — one extra equi-join per round
-        # (the label table is vocabulary-sized) buys log-round convergence
-        lref = labels.select(
-            F.xxhash64("name").alias("_lh"), F.col("component").alias("_lc")
-        )
-        new_labels = (
-            new_labels.join(lref, new_labels.component == lref._lh, "left")
-            .select(
-                "name",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_lc"), F.col("component"))
-                ).alias("component"),
+        # (the label table is vocabulary-sized) buys log-round convergence.
+        # Skipped for the first two rounds: short-diameter graphs (the
+        # common case — near-dup name clusters are dense) converge at the
+        # it=1 check from plain propagation alone and would pay the join
+        # for nothing (round-3 bench: +10% on kg_canonicalize_20x); a
+        # long chain only starts profiting once labels are >2 hops stale.
+        if it >= 2:
+            lref = labels.select(
+                F.xxhash64("name").alias("_lh"), F.col("component").alias("_lc")
             )
-        )
+            new_labels = (
+                new_labels.join(lref, new_labels.component == lref._lh, "left")
+                .select(
+                    "name",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_lc"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         new_labels = new_labels.localCheckpoint()
         # convergence check only on odd rounds: each check is a driver
         # action (a full job); min-label propagation never un-converges,

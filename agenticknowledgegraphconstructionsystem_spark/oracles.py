@@ -437,11 +437,24 @@ KG_ORACLES["kg_pagerank"] = pagerank_sql()
 KG_ORACLES["kg_triangles"] = (
     with_kg(comention_kept_cte())
     + """
-, tri AS (
-  SELECT e1.da AS a, e1.db AS b, e2.db AS c
-  FROM kept e1
-  JOIN kept e2 ON e2.da = e1.db
-  JOIN kept e3 ON e3.da = e1.da AND e3.db = e2.db
+, deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT da AS v FROM kept UNION ALL SELECT db FROM kept) GROUP BY v
+),
+oe AS (
+  -- degree-(then id-)ordered orientation, mirroring
+  -- operators/graph.degree_oriented_edges
+  SELECT CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND k.da < k.db)
+              THEN k.da ELSE k.db END AS src,
+         CASE WHEN ds.deg < dd.deg OR (ds.deg = dd.deg AND k.da < k.db)
+              THEN k.db ELSE k.da END AS dst
+  FROM kept k JOIN deg ds ON ds.v = k.da JOIN deg dd ON dd.v = k.db
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oe e1
+  JOIN oe e2 ON e2.src = e1.dst
+  JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
 ),
 members AS (
   SELECT a AS node FROM tri

@@ -55,6 +55,7 @@ STAGES = (
     "triples",
     "findings",
     "validated_edges",
+    "graph_metrics",
 )
 
 
@@ -69,6 +70,7 @@ class Pipeline:
         dedup_docs: bool = False,
         dedup_mode: str | None = None,
         dedup_threshold: float = 0.5,
+        graph_metrics: bool = False,
     ):
         """``link`` toggles the canonicalization stage.  Note the trade-off
         at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
@@ -103,6 +105,7 @@ class Pipeline:
         self.link_threshold = link_threshold
         self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
         self.dedup_threshold = dedup_threshold
+        self.graph_metrics = graph_metrics
         self._recomputed: list[str] = []
 
     # -- lineage ---------------------------------------------------------
@@ -254,12 +257,46 @@ class Pipeline:
         return base.join(losers, "url", "left_anti")
 
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
+    def _bump_manifest(self, stage: str, added_rows: int) -> None:
+        """Keep the stage manifest's row count truthful after an append."""
+        import json as _json
+        import os as _os
+
+        m = self.store.manifest(stage)
+        m["rows"] = int(m.get("rows", 0)) + int(added_rows)
+        m["appended_at"] = time.time()
+        tmp = self.store._manifest(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+        _os.replace(tmp, self.store._manifest(stage))
+
     def ingest_increment(self, pages: DataFrame) -> DataFrame:
         """database.ts:66-81 semantics lifted to sets: extract ONLY pages
         whose url has no committed extract output (J7 anti-join), append,
-        and invalidate downstream stage commits so the next run() rebuilds
-        them from the enlarged docs table.  Returns the newly-extracted
-        rows."""
+        and invalidate exactly the downstream stages that cannot be
+        advanced incrementally.  Returns the newly-extracted rows.
+
+        Incremental shape (the 100 TB story — adding 0.1% of docs must
+        not recompute the other 99.9%):
+
+        * **extract** — delta-only by construction (the resume anti-join).
+        * **mentions** — per-doc, so the delta's mentions are detected and
+          APPENDED to the committed mentions table (with lineage rows for
+          the delta partitions); the full corpus is never re-detected.
+          Only possible when no dedup stage sits between extract and
+          mentions — a near-dup family can span old+new docs, so any
+          ``dedup_mode`` forces the corpus-wide dedup (and hence mention
+          re-detection) to rerun.
+        * **entities / canonical_map / edges / relationships / triples /
+          findings / validated_edges** — re-aggregated from the enlarged
+          mentions table on the next run().  These are corpus-level
+          aggregates and joins; entities re-aggregate cheaply (one
+          shuffle over mentions), while linking/CC genuinely needs the
+          rebuild (a new surface form can bridge two existing
+          components).
+        * a no-op increment (every url already extracted) invalidates
+          NOTHING — downstream outputs are provably unchanged.
+        """
         from ..sources.io import resume_inputs
 
         if not self.store.is_committed("extract"):
@@ -268,12 +305,28 @@ class Pipeline:
             return self.store.read("extract")
         committed = self.store.read("extract")
         todo = resume_inputs(pages, committed, "url")
-        new_docs = extract_docs(todo)
-        new_docs.write.mode("append").parquet(
-            f"{self.store.base_dir}/extract"
+        # one materialization serves the append AND the delta detection
+        new_docs = extract_docs(todo).localCheckpoint()
+        n_new = new_docs.count()
+        if n_new == 0:
+            return new_docs
+        new_docs.write.mode("append").parquet(f"{self.store.base_dir}/extract")
+        self._bump_manifest("extract", n_new)
+        incremental_mentions = (
+            self.dedup_mode is None and self.store.is_committed("mentions")
         )
+        if incremental_mentions:
+            t0 = time.time()
+            delta_m = clean_mentions(detect_mentions_native(new_docs)).localCheckpoint()
+            n_delta = delta_m.count()
+            delta_m.write.mode("append").parquet(f"{self.store.base_dir}/mentions")
+            self._lineage_rows(
+                "mentions", delta_m, n_new, int((time.time() - t0) * 1000)
+            )
+            self._bump_manifest("mentions", n_delta)
+        keep = {"extract"} | ({"mentions"} if incremental_mentions else set())
         for stage in STAGES:
-            if stage != "extract":
+            if stage not in keep:
                 self.store.uncommit(stage)
         return new_docs
 
@@ -331,6 +384,9 @@ class Pipeline:
                 rel_edges, findings.where(F.col("item_kind") == "relationship")
             ),
         )
+        gm = None
+        if self.graph_metrics:
+            gm = self._stage("graph_metrics", lambda: self._graph_metrics(mentions))
         self._results = {
             "docs": docs,
             "mentions": mentions,
@@ -338,7 +394,7 @@ class Pipeline:
             "relationships": rels,
             "findings": findings,
         }
-        return {
+        out = {
             "docs": docs,
             "mentions": mentions,
             "entities": entities,
@@ -348,3 +404,39 @@ class Pipeline:
             "findings": findings,
             "validated_edges": validated,
         }
+        if gm is not None:
+            out["graph_metrics"] = gm
+        return out
+
+    def _graph_metrics(self, mentions: DataFrame) -> DataFrame:
+        """Optional reporting stage: PageRank + triangle counts over the
+        materialized co-mention document graph → (url, pr, n_triangles),
+        one row per graph node.  Same operators the kg_pagerank /
+        kg_triangles gates pin (operators/graph.py): df-capped edge
+        build, symmetrized int64 fixed-point PageRank, degree-oriented
+        triangle enumeration — committed/resumed/lineage-tracked like
+        every other stage."""
+        from ..operators.graph import (
+            comention_edges,
+            pagerank_fixed_point,
+            triangle_counts,
+        )
+
+        kept = comention_edges(mentions, key="url").localCheckpoint()
+        sym = kept.select(
+            F.col("da").alias("src"), F.col("db").alias("dst")
+        ).unionByName(kept.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+        pr = pagerank_fixed_point(sym, iters=8)
+        tri = triangle_counts(
+            kept.select(F.col("da").alias("src"), F.col("db").alias("dst"))
+        )
+        return (
+            pr.join(tri, "node", "left")
+            .select(
+                F.col("node").alias("url"),
+                "pr",
+                F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                    "n_triangles"
+                ),
+            )
+        )

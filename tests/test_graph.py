@@ -4,6 +4,8 @@ cannot exercise."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
     DAMP_DEN,
     DAMP_NUM,
@@ -73,3 +75,76 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}  # 5 absent
+
+
+def test_triangle_degree_orientation_kills_hub_wedges(spark):
+    """Star K_{1,1000} with the hub id in the MIDDLE of the id range —
+    the worst case for id-ordered orientation (~d²/4 candidate wedges:
+    every (low-leaf, hub) edge joins every (hub, high-leaf) edge) — plus
+    a disjoint triangle.  Degree orientation points every leaf edge INTO
+    the hub, so the wedge join's candidate count collapses to O(E): only
+    the triangle's 1 wedge survives.  Counts are unaffected."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        degree_oriented_edges,
+        triangle_counts,
+    )
+
+    hub = 500
+    edges = [(min(i, hub), max(i, hub)) for i in range(1001) if i != hub]
+    edges += [(2000, 2001), (2000, 2002), (2001, 2002)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    oriented = degree_oriented_edges(df)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).count()
+    assert wedges <= 10, wedges  # id-ordered would be ~250,000
+
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {2000: 1, 2001: 1, 2002: 1}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Degree-ordered and id-ordered enumeration count the same
+    triangles — orientation changes only the candidate-wedge shape."""
+    import random
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(220)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    by_deg = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, degree_orient=True).collect()
+    }
+    by_id = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, degree_orient=False).collect()
+    }
+    assert by_deg == by_id and by_deg
+
+
+def test_pagerank_tol_early_stop_is_exact_prefix(spark):
+    """Early stop is a pure prefix: stopping after k iterations yields
+    bit-identical scores to a tol-free run with iters=k — convergence
+    mode changes how many rounds run, never what is computed."""
+    from agenticknowledgegraphconstructionsystem_spark.operators import graph
+
+    # symmetric 4-cycle + chord; the integer L1 delta decays ~x0.57/iter
+    und = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    early = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank_fixed_point(df, iters=30, tol=10_000_000).collect()
+    }
+    k = graph.LAST_PAGERANK_ITERS
+    assert k < 30  # converged under the cap (trace: delta < 1e7 by iter 20)
+    fixed = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank_fixed_point(df, iters=k).collect()
+    }
+    assert graph.LAST_PAGERANK_ITERS == k
+    assert early == fixed

@@ -66,7 +66,14 @@ def test_incremental_ingest(spark, tmp_path):
     assert p2.store.read("extract").count() == 60
     r2 = p2.run(all_pages)
     assert "extract" not in p2._recomputed
-    assert "mentions" in p2._recomputed  # downstream invalidated + rebuilt
+    # mentions advanced INCREMENTALLY: the delta's mentions were appended
+    # at ingest time, the committed 40-doc detection was never re-run
+    assert "mentions" not in p2._recomputed
+    assert "entities" in p2._recomputed  # corpus-level aggregates rebuilt
+    # the appended mention lineage rows record delta-sized input (20 docs)
+    lin = p2.lineage().where("stage = 'mentions' and run_id = 'i2'")
+    assert lin.count() >= 1
+    assert {r["input_rows"] for r in lin.collect()} == {20}
 
     # equals a from-scratch run over all 60 docs
     p3 = Pipeline(spark, str(tmp_path / "full"), run_id="f")
@@ -75,3 +82,9 @@ def test_incremental_ingest(spark, tmp_path):
     t3 = {(r["subj"], r["pred"], r["obj"]) for r in r3["triples"].collect()}
     assert t2 == t3
     assert t1 <= len(t2)
+
+    # a no-op increment (all urls already extracted) invalidates NOTHING
+    p4 = Pipeline(spark, str(tmp_path / "inc"), run_id="i3")
+    assert p4.ingest_increment(all_pages).count() == 0
+    assert p4.store.is_committed("triples")
+    assert p4.store.is_committed("canonical_map")

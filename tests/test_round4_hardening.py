@@ -141,3 +141,38 @@ def test_entity_findings_gate_non_vacuous(spark):
         "name_too_long",
         "suspicious_perfect_score",
     } <= rules, rules
+
+
+def test_pipeline_graph_metrics_stage(spark, tmp_path):
+    """Pipeline(graph_metrics=True) emits a committed graph_metrics stage
+    (PageRank + triangles over the co-mention graph) with lineage rows,
+    participating in resume like every other stage."""
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+
+    pages = synthetic_pages(spark, 60)
+    p = Pipeline(spark, str(tmp_path / "gm"), run_id="g1", graph_metrics=True)
+    r = p.run(pages)
+    assert "graph_metrics" in p._recomputed
+    gm = r["graph_metrics"]
+    assert gm.columns == ["url", "pr", "n_triangles"]
+    gm_rows = sorted(map(tuple, gm.collect()))  # before any later overwrite
+    assert len(gm_rows) > 0
+    assert all(pr > 0 for _, pr, _ in gm_rows)
+    assert p.lineage().where("stage = 'graph_metrics'").count() >= 1
+
+    # full resume: nothing recomputes
+    p2 = Pipeline(spark, str(tmp_path / "gm"), run_id="g2", graph_metrics=True)
+    p2.run(pages)
+    assert p2._recomputed == []
+
+    # kill only graph_metrics -> only it recomputes, result unchanged
+    p2.store.uncommit("graph_metrics")
+    p3 = Pipeline(spark, str(tmp_path / "gm"), run_id="g3", graph_metrics=True)
+    r3 = p3.run(pages)
+    assert p3._recomputed == ["graph_metrics"]
+    assert sorted(map(tuple, r3["graph_metrics"].collect())) == gm_rows

@@ -149,3 +149,99 @@ def test_frame_sample(spark):
     )
     got = [(r["media_id"], r["frame_idx"]) for r in frame_sample(media, every_n=10).collect()]
     assert got == [(1, 0), (1, 10), (1, 20)]  # 25 frames, every 10th; image excluded
+
+
+# -- real stdlib decode tier (round-4: BMP pixels / WAV samples) --------------
+
+
+def test_bmp_roundtrip_and_pixel_values():
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # 2x2: red, green / blue, white — hand-checkable
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    payload = encode_bmp(rows)
+    w, h, got = decode_bmp(payload)
+    assert (w, h) == (2, 2)
+    assert got == rows
+    # odd width exercises the 4-byte row padding path
+    rows3 = [[(1, 2, 3), (4, 5, 6), (7, 8, 9)]]
+    assert decode_bmp(encode_bmp(rows3)) == (3, 1, rows3)
+
+
+def test_wav_roundtrip_and_sample_values():
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 12345]
+    rate, ch, got = decode_wav(encode_wav(samples, rate=8000))
+    assert (rate, ch) == (8000, 1)
+    assert got == samples
+
+
+def test_decode_images_real_bmp_through_mapinpandas(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
+    # solid red 4x2 and solid white 2x2
+    red = encode_bmp([[(255, 0, 0)] * 4] * 2)
+    white = encode_bmp([[(255, 255, 255)] * 2] * 2)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", mime="image/bmp", payload=red, meta="{}"),
+            Row(media_id=2, kind="image", mime="image/bmp", payload=white, meta="{}"),
+        ]
+    )
+    got = {r["media_id"]: r for r in decode_images(media, dim=8, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (4, 2)
+    f1 = got[1]["features"]
+    assert abs(f1[0] - 1.0) < 1e-6 and abs(f1[1]) < 1e-6 and abs(f1[2]) < 1e-6
+    # red's Rec.601 luminance = 76 -> bin 76*5//256 = 1 of 5 histogram bins
+    assert abs(f1[3 + 1] - 1.0) < 1e-6
+    f2 = got[2]["features"]
+    assert all(abs(x - 1.0) < 1e-6 for x in f2[:3])
+    assert abs(f2[3 + 4] - 1.0) < 1e-6  # white: top luminance bin
+
+
+def test_decode_audio_real_wav_through_mapinpandas(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    # 1 s at 8 kHz: first half silent, second half full-scale square wave
+    samples = [0] * 4000 + [16384, -16384] * 2000
+    media = spark.createDataFrame(
+        [Row(media_id=7, kind="audio", mime="audio/wav",
+             payload=encode_wav(samples, rate=8000), meta="{}")]
+    )
+    got = decode_audio(media, n_mfcc=4, fake=False).collect()[0]
+    assert got["duration_ms"] == 1000
+    m = got["mfcc"]
+    assert m[0] < 1e-9 and m[1] < 1e-9          # silent strata
+    assert abs(m[2] - 0.5) < 1e-6 and abs(m[3] - 0.5) < 1e-6  # |16384|/32768
+
+
+def test_resize_images_real_bmp_nearest_neighbor(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
+    # left half red, right half blue, 4x4 -> 2x2 keeps the split
+    src = encode_bmp(
+        [[(255, 0, 0)] * 2 + [(0, 0, 255)] * 2 for _ in range(4)]
+    )
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", mime="image/bmp", payload=src, meta="{}")]
+    )
+    out = resize_images(media, width=2, height=2, fake=False).collect()[0]
+    w, h, rows = decode_bmp(bytes(out["payload"]))
+    assert (w, h) == (2, 2)
+    assert rows == [[(255, 0, 0), (0, 0, 255)], [(255, 0, 0), (0, 0, 255)]]
