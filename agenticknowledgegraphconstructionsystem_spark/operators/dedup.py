@@ -38,7 +38,12 @@ from ..semantics import threshold_fraction as _threshold_fraction
 DEFAULT_MAX_BUCKET = 10_000
 
 #: intermediates persisted by :func:`_maybe_persist` that have not been
-#: released yet — see :func:`unpersist_tracked`
+#: released yet — see :func:`unpersist_tracked`.  DRIVER-GLOBAL state,
+#: intentionally: persists live on the (one) SparkContext, so the registry
+#: mirrors that scope.  Two interleaved pipelines in one driver would
+#: release each other's caches early — harmless for correctness (Spark
+#: recomputes evicted blocks) but a perf foot-gun; run concurrent
+#: pipelines in separate drivers, as a real cluster deployment does.
 _PERSISTED: list[DataFrame] = []
 
 
