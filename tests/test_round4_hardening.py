@@ -176,3 +176,55 @@ def test_pipeline_graph_metrics_stage(spark, tmp_path):
     r3 = p3.run(pages)
     assert p3._recomputed == ["graph_metrics"]
     assert sorted(map(tuple, r3["graph_metrics"].collect())) == gm_rows
+
+
+def test_reference_sql_views(spark, tmp_path):
+    """The reference's SQL surface (db_init.py:170-210) works verbatim on
+    the rebuild: register_views() exposes papers/concepts/paper_concepts/
+    paper_relationships plus the three derived views, and the view
+    results agree with the DataFrame operators they restate."""
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.views import (
+        VIEW_NAMES,
+        register_views,
+    )
+
+    r = Pipeline(spark, str(tmp_path / "v"), run_id="v1").run(
+        synthetic_pages(spark, 60)
+    )
+    assert register_views(r) == list(VIEW_NAMES)
+
+    # top_concepts: paper_count == mention_count (edges are one row per
+    # (url, name); mention_count counts distinct urls) and ordering holds
+    tc = spark.sql("SELECT * FROM top_concepts").collect()
+    assert tc and all(row["paper_count"] == row["mention_count"] for row in tc)
+    counts = [row["paper_count"] for row in tc]
+    assert counts == sorted(counts, reverse=True)
+
+    # paper_concept_summary: every doc appears, zero-mention docs included
+    pcs = {row["url"]: row["concept_count"]
+           for row in spark.sql("SELECT * FROM paper_concept_summary").collect()}
+    assert len(pcs) == r["docs"].count()
+    edge_counts = {
+        row["url"]: row["n"]
+        for row in r["edges"].groupBy("url").count().withColumnRenamed("count", "n").collect()
+    }
+    for url, n in edge_counts.items():
+        assert pcs[url] == n
+    assert sum(pcs.values()) == sum(edge_counts.values())
+
+    # relationship_summary: totals tie back to the validated-edge table
+    rs = spark.sql("SELECT * FROM relationship_summary").collect()
+    assert sum(row["count"] for row in rs) == r["validated_edges"].count()
+    assert all(0 <= row["avg_confidence_pct"] <= 100 for row in rs)
+
+    # the views are live plans: a filter through the view still works
+    one = spark.sql(
+        "SELECT name FROM top_concepts WHERE paper_count >= 1 LIMIT 1"
+    ).collect()
+    assert one
