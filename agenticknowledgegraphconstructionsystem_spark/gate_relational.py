@@ -753,57 +753,19 @@ FROM ranked GROUP BY event_type"""
 
 
 # ---------------------------------------------------------------------------
-# Combined micro-gate suites.  The driver records CORRECTNESS rows for at
-# most 50 queries; round 3 exposed 65 and the 15 training-data gates fell
-# outside the window.  The 15 trivial relational micro-gates (single-shape
-# scans/joins/aggs) are folded into 3 suite queries so every gate fits:
-# each member's full result is stringified row-wise (columns in a stated
-# order, NULL → sentinel) and tagged with its gate name, then the members
-# are unioned.  The driver's order-insensitive hash over (gate, row_str)
-# pins exactly the same value set per member as 15 separate gates would —
-# a mismatch in ANY member's rows breaks the suite hash.  The DuckDB
-# oracle applies the identical stringification per member (same column
-# order, same sentinel) over the identical per-member SQL.
+# Combined micro-gate suites (machinery in gate_suites.py).  The driver
+# records CORRECTNESS rows for at most 50 queries; round 3 exposed 65 and
+# the 15 training-data gates fell outside the window.  The 15 trivial
+# relational micro-gates (single-shape scans/joins/aggs) are folded into
+# 3 suite queries so every gate fits; see gate_suites.py for how a suite
+# hash pins exactly the same value set per member as separate gates.
 # ---------------------------------------------------------------------------
 
-_NULL_SENTINEL = "@NULL@"
-
-
-def _norm_rows(df: DataFrame, gate: str) -> DataFrame:
-    cols = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
-        for c in df.columns
-    ]
-    return df.select(
-        F.lit(gate).alias("gate"), F.concat_ws("|", *cols).alias("row_str")
-    )
-
-
-def _norm_sql(gate: str, sql: str, cols: list[str]) -> str:
-    exprs = ", ".join(
-        f"COALESCE(CAST({c} AS VARCHAR), '{_NULL_SENTINEL}')" for c in cols
-    )
-    return (
-        f"SELECT '{gate}' AS gate, concat_ws('|', {exprs}) AS row_str "
-        f"FROM ({sql})"
-    )
-
-
-def _suite_query(members):
-    def q(spark, sf_dir):
-        dfs = [_norm_rows(fn(spark, sf_dir), g) for g, fn, _sql, _cols in members]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
-
-    return q
-
-
-def _suite_oracle(members) -> str:
-    return "\nUNION ALL\n".join(
-        _norm_sql(g, sql, cols) for g, _fn, sql, cols in members
-    )
+from .gate_suites import (  # noqa: E402  (re-exported for tests)
+    norm_rows as _norm_rows,
+    suite_oracle as _suite_oracle,
+    suite_query as _suite_query,
+)
 
 
 # column lists restate each member query's select order — the row_str is

@@ -904,13 +904,163 @@ SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
 FROM scored WHERE cosine >= CAST(0.95 AS DOUBLE)"""
 
 
-TEXT_QUERIES = {
-    "td_exact_dup": q_exact_dup,
-    "td_ngram_jaccard": q_ngram_jaccard,
+
+# ---------------------------------------------------------------------------
+# Curation reports + stratified sampling (round 4) and the textstats
+# micro-gate suite (frees driver-window slots for the new gates; the
+# individual gates stay hash-checked by scripts/check_gate.py).
+# ---------------------------------------------------------------------------
+
+from . import semantics as _S2  # noqa: E402
+from .gate_suites import suite_oracle as _suite_oracle  # noqa: E402
+from .gate_suites import suite_query as _suite_query  # noqa: E402
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic "k docs per domain" downsampling
+    (sketches.stratified_sample_topk, k=10 per source, salt 2): the k
+    rows with the smallest affine-permuted doc_id hash per group.  The
+    oracle restates the identical hash + ROW_NUMBER rank."""
+    from .operators.sketches import stratified_sample_topk
+
+    d = _docs(spark, sf_dir).select("source", "doc_id")
+    out = stratified_sample_topk(d, "source", "doc_id", k=10, salt=2)
+    return out.select("source", F.col("doc_id").cast(_BIG).alias("doc_id"))
+
+
+def _o_stratified_sample() -> str:
+    h = _sql_affine(f"(doc_id % {_S2.POLY_P})", _S2.MINHASH_A[2], _S2.MINHASH_B[2])
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM ranked WHERE rn <= 10"""
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus composition report (textstats.corpus_stats): per
+    (source, lang) doc count, char/token totals, and curation-grade doc
+    count (quality_pct >= semantics.QUALITY_OK_PCT)."""
+    from .operators.textstats import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir)).select(
+        "source",
+        "lang",
+        F.col("n_docs").cast(_BIG).alias("n_docs"),
+        F.col("sum_chars").cast(_BIG).alias("sum_chars"),
+        F.col("sum_ws_tokens").cast(_BIG).alias("sum_ws_tokens"),
+        F.col("n_quality_ok").cast(_BIG).alias("n_quality_ok"),
+    )
+
+
+O_CORPUS_STATS = f"""
+WITH base AS (
+  SELECT source, lang, coalesce(text, '') AS t, lower(coalesce(text, '')) AS lt
+  FROM documents
+),
+m AS (
+  SELECT source, lang,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split_regex(lt, '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(lt, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+  FROM base
+),
+m2 AS (
+  SELECT *,
+         CASE WHEN n_words > 0 THEN CAST(FLOOR(n_alpha * 100 / n_words) AS BIGINT) ELSE 0 END AS mwl,
+         CASE WHEN n_chars > 0 THEN CAST(FLOOR(n_alpha * 50 / n_chars) AS BIGINT) ELSE 0 END AS alpha_c,
+         LEAST(CAST(20 AS BIGINT), CAST(FLOOR(n_chars / 50) AS BIGINT)) AS len_c
+  FROM m
+),
+q AS (
+  SELECT source, lang, n_chars, n_words,
+         alpha_c
+         + (CASE WHEN mwl BETWEEN 300 AND 800 THEN 30
+                 WHEN mwl >= 200 AND mwl < 300 THEN 15 ELSE 0 END)
+         + len_c AS quality_pct
+  FROM m2
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_words) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(CASE WHEN quality_pct >= {_S2.QUALITY_OK_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM q GROUP BY source, lang"""
+
+
+def q_dedup_rate(spark, sf_dir):
+    """Per-source exact-duplicate report (dedup.dedup_rate_by_group):
+    global min-doc_id keeper per content hash, losers charged to their
+    own source."""
+    from .operators.dedup import dedup_rate_by_group
+
+    return dedup_rate_by_group(_docs(spark, sf_dir)).select(
+        "source",
+        F.col("n_docs").cast(_BIG).alias("n_docs"),
+        F.col("n_dup_rows").cast(_BIG).alias("n_dup_rows"),
+        F.col("n_keepers").cast(_BIG).alias("n_keepers"),
+    )
+
+
+O_DEDUP_RATE = """
+WITH nn AS (
+  SELECT source, doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+),
+keep AS (SELECT h, MIN(doc_id) AS keeper FROM nn GROUP BY h),
+flagged AS (
+  SELECT nn.source, nn.doc_id, (nn.doc_id = k.keeper) AS is_keeper
+  FROM nn JOIN keep k USING (h)
+  UNION ALL
+  SELECT source, doc_id, TRUE FROM documents WHERE text IS NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_rows,
+       CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers
+FROM flagged GROUP BY source"""
+
+
+#: the 4 per-doc textstats micro-gates folded into one driver suite
+#: (same mechanism as the rel_* suites; column lists restate each member
+#: query's select order — pytest-pinned)
+_TEXTSTATS_SUITE = [
+    ("lang_id", q_lang_id, O_LANG_ID, ["doc_id", "detected_lang"]),
+    ("quality", q_quality, O_QUALITY,
+     ["doc_id", "n_chars", "n_words", "n_alpha", "n_punct", "stop_hits",
+      "mean_word_len_x100", "quality_pct"]),
+    ("token_count", q_token_count, O_TOKEN_COUNT,
+     ["doc_id", "ws_tokens", "bpe_tokens"]),
+    ("fingerprint", q_fingerprint, O_FINGERPRINT, ["doc_id", "fp"]),
+]
+
+q_textstats_suite = _suite_query(_TEXTSTATS_SUITE)
+O_TEXTSTATS_SUITE = _suite_oracle(_TEXTSTATS_SUITE)
+
+#: the folded micro-gates, still individually swept by check_gate.py
+TEXT_MICRO_QUERIES = {
     "td_lang_id": q_lang_id,
     "td_quality": q_quality,
     "td_token_count": q_token_count,
     "td_fingerprint": q_fingerprint,
+}
+
+TEXT_MICRO_ORACLES = {
+    "td_lang_id": O_LANG_ID,
+    "td_quality": O_QUALITY,
+    "td_token_count": O_TOKEN_COUNT,
+    "td_fingerprint": O_FINGERPRINT,
+}
+
+
+TEXT_QUERIES = {
+    "td_exact_dup": q_exact_dup,
+    "td_ngram_jaccard": q_ngram_jaccard,
+    "td_textstats_suite": q_textstats_suite,
+    "td_corpus_stats": q_corpus_stats,
+    "td_dedup_rate": q_dedup_rate,
+    "td_stratified_sample": q_stratified_sample,
     "td_ann_cosine_topk": q_ann_cosine_topk,
     "td_minhash_dups": q_minhash_dups,
     "td_simhash_sigs": q_simhash_sigs,
@@ -929,10 +1079,10 @@ TEXT_QUERIES = {
 TEXT_ORACLES = {
     "td_exact_dup": O_EXACT_DUP,
     "td_ngram_jaccard": O_NGRAM_JACCARD,
-    "td_lang_id": O_LANG_ID,
-    "td_quality": O_QUALITY,
-    "td_token_count": O_TOKEN_COUNT,
-    "td_fingerprint": O_FINGERPRINT,
+    "td_textstats_suite": O_TEXTSTATS_SUITE,
+    "td_corpus_stats": O_CORPUS_STATS,
+    "td_dedup_rate": O_DEDUP_RATE,
+    "td_stratified_sample": _o_stratified_sample(),
     "td_ann_cosine_topk": O_ANN_COSINE,
     # LSH suites: oracled via the portable poly/affine hash family and
     # inlined RHP plane literals — the ENTIRE pipeline (signatures, band
@@ -951,3 +1101,4 @@ TEXT_ORACLES = {
     "td_kmv_distinct": _o_kmv_distinct(),
     "td_hash_sample": _o_hash_sample(),
 }
+

@@ -480,3 +480,40 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group exact-duplicate report: how much of each corpus slice
+    (domain, crawl, shard) exact dedup would drop — the number a curation
+    pipeline watches to find mirror sites and boilerplate farms.
+
+    keeper = GLOBAL min-key per content hash (:func:`exact_duplicates`
+    semantics), so a cross-group duplicate family charges every non-keeper
+    member to its own group, not the keeper's.  Rows with NULL text count
+    as keepers (no content to be a duplicate of — the Pipeline dedup
+    stage's rule).  Scale shape: one shuffle on the 128-bit content hash
+    (balanced by construction) + one join back on the hash + one group
+    aggregation.  → (group_col, n_docs, n_dup_rows, n_keepers).
+    Gate: td_dedup_rate."""
+    base = docs.select(group_col, key, F.md5(F.col(text_col)).alias("_h"))
+    nn = base.where(F.col("_h").isNotNull())
+    nulls = base.where(F.col("_h").isNull()).withColumn(
+        "_is_keeper", F.lit(True)
+    )
+    keepers = nn.groupBy("_h").agg(F.min(key).alias("_keeper"))
+    flagged = nn.join(keepers, "_h").withColumn(
+        "_is_keeper", F.col(key) == F.col("_keeper")
+    )
+    members = flagged.select(group_col, key, "_is_keeper").unionByName(
+        nulls.select(group_col, key, "_is_keeper")
+    )
+    return members.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((~F.col("_is_keeper")).cast("int")).cast("long").alias("n_dup_rows"),
+        F.sum(F.col("_is_keeper").cast("int")).cast("long").alias("n_keepers"),
+    )

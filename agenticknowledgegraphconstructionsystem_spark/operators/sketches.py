@@ -49,6 +49,16 @@ def hash_sample(
     "sample", non-hashable key types raise)."""
     if not 0 <= percent <= 100:
         raise ValueError("percent must be in [0, 100]")
+    try:
+        h = _key_hash(df, key_col, salt)
+    except TypeError as e:
+        raise TypeError(f"hash_sample: {e}") from None
+    return df.where(F.pmod(h, F.lit(100)) < percent)
+
+
+def _key_hash(df: DataFrame, key_col: str, salt: int):
+    """Affine-permuted portable hash of a string or integer key column —
+    the shared dispatch for hash_sample / stratified_sample_topk."""
     dtype = dict(df.dtypes)[key_col]
     if dtype == "string":
         base = poly_hash_col(F.col(key_col))
@@ -56,11 +66,44 @@ def hash_sample(
         base = F.pmod(F.col(key_col).cast("long"), F.lit(S.POLY_P))
     else:
         raise TypeError(
-            f"hash_sample: key column {key_col!r} has type {dtype}; "
-            "only string and integer keys are hashable deterministically"
+            f"key column {key_col!r} has type {dtype}; only string and "
+            "integer keys are hashable deterministically"
         )
-    h = affine_col(base, S.MINHASH_A[salt], S.MINHASH_B[salt])
-    return df.where(F.pmod(h, F.lit(100)) < percent)
+    return affine_col(base, S.MINHASH_A[salt], S.MINHASH_B[salt])
+
+
+def stratified_sample_topk(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: int = 2,
+) -> DataFrame:
+    """Deterministic per-group downsampling: the k rows with the smallest
+    affine-permuted key hash per group (tie-break on the key itself — a
+    total order, so the sample is unique).  The curation move "keep at
+    most k documents per domain": unlike per-group df.sample() the same
+    keys survive across runs, engines, and cluster sizes, and adding NEW
+    rows to a group never evicts a kept row in favor of a
+    lexicographically later one — membership only changes if a new key
+    hashes below the current k-th minimum (bounded churn).
+
+    Scale shape: the rank compiles to WindowGroupLimit (each map task
+    keeps only k candidates per group before the shuffle-sort), so state
+    per group is bounded by k regardless of group size — no global sort,
+    no collect.  ``salt`` selects an independent permutation (use a
+    different salt than any hash_sample split applied to the same keys,
+    or the sample correlates with the split)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _key_hash(df, key_col, salt)
+    w = Window.partitionBy(group_col).orderBy("_strat_h", key_col)
+    return (
+        df.withColumn("_strat_h", h)
+        .withColumn("_strat_rn", F.row_number().over(w))
+        .where(F.col("_strat_rn") <= k)
+        .drop("_strat_h", "_strat_rn")
+    )
 
 
 def kmv_distinct(

@@ -244,3 +244,40 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(key, "term", F.col("rank").cast("long").alias("rank"), "score_e6")
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report — the curation dashboard a training-data
+    pipeline runs before and after filtering: per group (domain ×
+    language by default) the document count, total characters, total
+    whitespace tokens, and how many documents clear the curation quality
+    bar (quality_pct >= semantics.QUALITY_OK_PCT; same integer formula
+    the td_quality gate pins).
+
+    One pass: every metric is a pure Column over the scan projection
+    followed by a single map-side-combinable aggregation — no joins, no
+    second scan.  → (group_cols..., n_docs, sum_chars, sum_ws_tokens,
+    n_quality_ok).  Gate: td_corpus_stats."""
+    q = quality_columns(F.col(text_col))["quality_pct"]
+    tok = token_counts(F.col(text_col))["ws_tokens"]
+    return (
+        docs.select(
+            *group_cols,
+            F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
+            tok.alias("_tok"),
+            q.alias("_q"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("sum_chars"),
+            F.sum("_tok").cast("long").alias("sum_ws_tokens"),
+            F.sum((F.col("_q") >= S.QUALITY_OK_PCT).cast("int"))
+            .cast("long")
+            .alias("n_quality_ok"),
+        )
+    )

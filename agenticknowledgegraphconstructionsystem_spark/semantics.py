@@ -113,6 +113,11 @@ NAME_WARN_LEN = 100             # E2 warning (validation-agent.ts:107)
 EXPLANATION_MIN_LEN = 20        # R5 (validation-agent.ts:367)
 PLACEHOLDER_EXPLANATION = "not explicitly stated in abstract"  # validation-agent.ts:379
 
+#: Minimum quality_pct for a document to count as curation-grade in the
+#: corpus composition report (textstats.corpus_stats / td_corpus_stats).
+#: A rebuild-side curation constant — the reference has no quality gate.
+QUALITY_OK_PCT = 50
+
 #: Gate-seed mention rows — (doc_id, name, concept_type, relevance_pct,
 #: pos, context) — each tripping exactly one entity-validation rule, so the
 #: kg_entity_findings gate compares NON-empty sets at every sf (the

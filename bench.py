@@ -60,7 +60,10 @@ def main() -> None:
 
     from agenticknowledgegraphconstructionsystem_spark.gate import KG_QUERIES
     from agenticknowledgegraphconstructionsystem_spark.gate_relational import REL_QUERIES
-    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import TEXT_QUERIES
+    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (
+        TEXT_MICRO_QUERIES,
+        TEXT_QUERIES,
+    )
 
     bench_set = {
         # flagship: full KG pipeline to triples (extract->mentions->entities
@@ -78,7 +81,10 @@ def main() -> None:
         "td_emb_near_dup": TEXT_QUERIES["td_emb_near_dup"],
         "td_winnow_dups": TEXT_QUERIES["td_winnow_dups"],
         "td_tfidf_topk": TEXT_QUERIES["td_tfidf_topk"],
-        "td_quality": TEXT_QUERIES["td_quality"],
+        "td_quality": TEXT_MICRO_QUERIES["td_quality"],
+        "td_corpus_stats": TEXT_QUERIES["td_corpus_stats"],
+        "td_dedup_rate": TEXT_QUERIES["td_dedup_rate"],
+        "td_stratified_sample": TEXT_QUERIES["td_stratified_sample"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
         "rel_big_group": REL_QUERIES["rel_big_group"],

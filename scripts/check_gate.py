@@ -20,6 +20,10 @@ from agenticknowledgegraphconstructionsystem_spark.gate_relational import (  # n
     REL_ORACLES,
     REL_QUERIES,
 )
+from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (  # noqa: E402
+    TEXT_MICRO_ORACLES,
+    TEXT_MICRO_QUERIES,
+)
 from agenticknowledgegraphconstructionsystem_spark.operators import dedup  # noqa: E402
 from agenticknowledgegraphconstructionsystem_spark.session import get_spark  # noqa: E402
 
@@ -63,13 +67,17 @@ def main() -> None:
             )
         except duckdb.Error:
             pass
-    # driver surface (50 curated) + the un-folded relational micro-gates
-    # that ride the rel_*_suite combined queries in the driver view
+    # driver surface (50 curated) + the un-folded micro-gates that ride
+    # the rel_*_suite / td_textstats_suite combined queries in the driver view
     qs, os_ = queries(), oracle_sql()
     for name in REL_QUERIES:
         if name not in qs:
             qs[name] = REL_QUERIES[name]
             os_[name] = REL_ORACLES[name]
+    for name in TEXT_MICRO_QUERIES:
+        if name not in qs:
+            qs[name] = TEXT_MICRO_QUERIES[name]
+            os_[name] = TEXT_MICRO_ORACLES[name]
     failures = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):

@@ -124,3 +124,26 @@ def test_rhp_ann_recall(spark):
     # ANN recall vs exact top-3: at least 2 of 3 for tightly clustered data
     for q in exact:
         assert len(got.get(q, set()) & set(exact[q])) >= 2
+
+
+def test_dedup_rate_by_group_cross_source_attribution(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.dedup import (
+        dedup_rate_by_group,
+    )
+
+    rows = [
+        # cross-source duplicate family: keeper (min doc_id=1) in srcA,
+        # losers in srcB — each charged to its OWN source
+        Row(doc_id=1, source="srcA", text="same content here"),
+        Row(doc_id=2, source="srcB", text="same content here"),
+        Row(doc_id=3, source="srcB", text="same content here"),
+        # unique doc
+        Row(doc_id=4, source="srcB", text="unique content"),
+        # null text: always a keeper
+        Row(doc_id=5, source="srcA", text=None),
+    ]
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_rows"], r["n_keepers"])
+        for r in dedup_rate_by_group(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {"srcA": (2, 0, 2), "srcB": (3, 2, 1)}

@@ -89,10 +89,16 @@ def test_suites_restate_members(spark):
         q_scan_suite,
     )
 
+    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (
+        _TEXTSTATS_SUITE,
+        q_textstats_suite,
+    )
+
     for suite_q, members in [
         (q_join_suite, _JOIN_SUITE),
         (q_agg_suite, _AGG_SUITE),
         (q_scan_suite, _SCAN_SUITE),
+        (q_textstats_suite, _TEXTSTATS_SUITE),
     ]:
         got = sorted(
             (r["gate"], r["row_str"]) for r in suite_q(spark, SF).collect()
@@ -115,7 +121,11 @@ def test_suite_column_lists_match_member_queries(spark):
         _SCAN_SUITE,
     )
 
-    for members in [_JOIN_SUITE, _AGG_SUITE, _SCAN_SUITE]:
+    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (
+        _TEXTSTATS_SUITE,
+    )
+
+    for members in [_JOIN_SUITE, _AGG_SUITE, _SCAN_SUITE, _TEXTSTATS_SUITE]:
         for g, fn, _sql, cols in members:
             assert fn(spark, SF).columns == cols, g
 

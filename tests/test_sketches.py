@@ -38,3 +38,34 @@ def test_kmv_deterministic_and_duplicate_insensitive(spark):
     # must not move
     est2 = _estimates(spark, base * 3)
     assert est1 == est2
+
+
+def test_stratified_sample_topk_properties(spark):
+    from pyspark.sql import functions as F
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.sketches import (
+        stratified_sample_topk,
+    )
+
+    rows = [Row(g=f"d{i % 7}", k=i) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    got = stratified_sample_topk(df, "g", "k", k=10)
+    per_g = {r["g"]: r["n"] for r in got.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in per_g.values()) and len(per_g) == 7
+    # deterministic under repartitioning
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, stratified_sample_topk(df.repartition(13), "g", "k", 10).collect()))
+    assert a == b
+    # a group smaller than k keeps everything
+    small = spark.createDataFrame([Row(g="x", k=1), Row(g="x", k=2)])
+    assert stratified_sample_topk(small, "g", "k", k=10).count() == 2
+    # groups with no new rows are untouched when other groups grow
+    grown = df.unionByName(spark.createDataFrame([Row(g="d0", k=10_000 + i) for i in range(50)]))
+    kept_d1_before = {t for t in a if t[0] == "d1"}
+    kept_d1_after = {
+        tuple(r) for r in stratified_sample_topk(grown, "g", "k", 10).collect() if r["g"] == "d1"
+    }
+    assert kept_d1_before == kept_d1_after
+    # string keys work too (shared _key_hash dispatch)
+    sdf = spark.createDataFrame([Row(g="a", k=f"url{i}") for i in range(40)])
+    assert stratified_sample_topk(sdf, "g", "k", k=5).count() == 5

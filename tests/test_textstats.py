@@ -59,3 +59,24 @@ def test_fingerprint_whitespace_invariant(spark):
     got = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert got[0] == got[1]
     assert got[0] != got[2]
+
+
+def test_corpus_stats_ties_to_ungrouped_totals(spark):
+    from pyspark.sql import functions as F
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        corpus_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cs = corpus_stats(docs)
+    tot = cs.agg(
+        F.sum("n_docs").alias("d"),
+        F.sum("sum_chars").alias("c"),
+        F.sum("n_quality_ok").alias("q"),
+    ).collect()[0]
+    assert tot["d"] == docs.count()
+    assert tot["c"] == docs.agg(F.sum(F.coalesce(F.length("text"), F.lit(0)))).collect()[0][0]
+    assert 0 <= tot["q"] <= tot["d"]
+    # one row per (source, lang) present in the corpus
+    assert cs.count() == docs.select("source", "lang").distinct().count()
