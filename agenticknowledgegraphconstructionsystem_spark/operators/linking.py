@@ -216,7 +216,9 @@ def similarity_edges(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, jump_from: int = 2
+) -> DataFrame:
     """→ (name, component) via min-label propagation + pointer jumping.
 
     component = min xxhash64 over the component's names.  Each round does
@@ -272,12 +274,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # component is xxhash64 of some member node, so look that node up
         # and take ITS component if smaller — one extra equi-join per round
         # (the label table is vocabulary-sized) buys log-round convergence.
-        # Skipped for the first two rounds: short-diameter graphs (the
-        # common case — near-dup name clusters are dense) converge at the
-        # it=1 check from plain propagation alone and would pay the join
-        # for nothing (round-3 bench: +10% on kg_canonicalize_20x); a
+        # Skipped for the first ``jump_from`` rounds (default 2):
+        # short-diameter graphs (the common case — near-dup name clusters
+        # are dense) converge at the it=1 check from plain propagation
+        # alone and would pay the join for nothing (round-3 bench: +10%
+        # on kg_canonicalize_20x; same-session A/B pinned the saving); a
         # long chain only starts profiting once labels are >2 hops stale.
-        if it >= 2:
+        if it >= jump_from:
             lref = labels.select(
                 F.xxhash64("name").alias("_lh"), F.col("component").alias("_lc")
             )
