@@ -245,3 +245,44 @@ def test_resize_images_real_bmp_nearest_neighbor(spark):
     w, h, rows = decode_bmp(bytes(out["payload"]))
     assert (w, h) == (2, 2)
     assert rows == [[(255, 0, 0), (0, 0, 255)], [(255, 0, 0), (0, 0, 255)]]
+
+
+def test_bmp_wav_roundtrip_property():
+    """Hypothesis: encode/decode are exact inverses for arbitrary pixel
+    grids and sample vectors (24-bit BMP incl. padded odd widths; 16-bit
+    PCM full range)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    px = st.tuples(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 7),
+        st.integers(1, 5),
+        st.data(),
+    )
+    def bmp_case(w, h, data):
+        rows = [[data.draw(px) for _ in range(w)] for _ in range(h)]
+        assert decode_bmp(encode_bmp(rows)) == (w, h, rows)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def wav_case(samples, rate):
+        r, ch, got = decode_wav(encode_wav(samples, rate=rate))
+        assert (r, ch, got) == (rate, 1, samples)
+
+    bmp_case()
+    wav_case()
