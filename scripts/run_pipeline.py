@@ -54,6 +54,18 @@ def main() -> None:
     ap.add_argument(
         "--link-threshold", type=float, default=0.5, help="canonicalization Jaccard cut"
     )
+    ap.add_argument(
+        "--graph-metrics",
+        action="store_true",
+        help="reporting stage: PageRank + triangle counts over the "
+        "co-mention document graph (committed/resumable like every stage)",
+    )
+    ap.add_argument(
+        "--sql-views",
+        action="store_true",
+        help="register the reference's SQL views (papers/concepts/"
+        "paper_concepts/paper_relationships + 3 derived views) before exit",
+    )
     ap.add_argument("--report", help="write validation-results.json here")
     args = ap.parse_args()
 
@@ -80,9 +92,18 @@ def main() -> None:
         dedup_docs=args.dedup_docs,
         dedup_mode=args.dedup_mode,
         dedup_threshold=args.dedup_threshold,
+        graph_metrics=args.graph_metrics,
     )
     res = p.run(pages)
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
+    if "graph_metrics" in res:
+        counts["graph_nodes"] = res["graph_metrics"].count()
+    if args.sql_views:
+        from agenticknowledgegraphconstructionsystem_spark.sources.views import (
+            register_views,
+        )
+
+        register_views(res)
     if args.report:
         p.export_report(args.report)
     print(json.dumps({"run_id": args.run_id, "recomputed_stages": p._recomputed, **counts}))
