@@ -7,12 +7,13 @@ from the same constants in ``semantics.py`` — see ``oracles.py``).
 
 The driver records CORRECTNESS rows for at most 50 queries (first 50 in
 insertion order).  The exported surface is curated to EXACTLY 50: all 19
-KG gates, then all 19 training-data gates (LSH/ANN/winnow/sketch — the
-engine's dedup story), then 12 relational gates (9 substantial queries +
-3 suites that fold the 15 single-shape micro-gates; see
-gate_relational.py REL_GATED_QUERIES).  Every implemented operator keeps
-a driver-visible hash gate; scripts/check_gate.py additionally sweeps the
-un-folded per-micro-gate set.
+KG gates, then 19 training-data gates (LSH/ANN/winnow/sketch/curation —
+the engine's dedup story; the 4 per-doc textstats micro-gates ride
+td_textstats_suite), then 12 relational gates (9 substantial queries +
+3 suites folding the 15 single-shape micro-gates; machinery in
+gate_suites.py).  Every implemented operator keeps a driver-visible hash
+gate; scripts/check_gate.py additionally sweeps every folded micro-gate
+individually.
 """
 
 from __future__ import annotations
