@@ -274,3 +274,39 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def streaming_docs_source(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over a documents-shaped parquet directory (new
+    crawl shards appear as files)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir_path)
+    )
+
+
+def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``textstats.corpus_stats``: running per
+    (source, lang) composition totals over a continuously-crawled corpus
+    — the live curation dashboard.  The batch operator is a pure-Column
+    projection + one aggregation, so it applies to a streaming DataFrame
+    UNCHANGED; state is one row per (source, lang) — bounded by the
+    domain × language universe, not the corpus — and every metric is
+    map-side-combinable, so each micro-batch folds partial sums into
+    state.  Drain with output_mode='complete' (global aggregation, no
+    watermark); batch/stream equivalence is pytest-pinned."""
+    from ..operators.textstats import corpus_stats
+
+    return corpus_stats(docs)

@@ -286,3 +286,26 @@ def test_bmp_wav_roundtrip_property():
 
     bmp_case()
     wav_case()
+
+
+def test_streaming_corpus_stats_matches_batch(spark, tmp_path):
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        corpus_stats,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        run_available_now,
+        streaming_corpus_stats,
+        streaming_docs_source,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_stream")
+    # several files so the drain spans micro-batches
+    docs.repartition(6).write.mode("overwrite").parquet(path)
+    got = run_available_now(
+        streaming_corpus_stats(streaming_docs_source(spark, path)),
+        "corpus_stats_stream",
+        output_mode="complete",
+    )
+    want = corpus_stats(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
