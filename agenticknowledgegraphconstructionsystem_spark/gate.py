@@ -119,12 +119,14 @@ def q_relationship_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validation import validation_summary_lazy
+
     m = _mentions(spark, sf_dir)
     ents = build_entities(m)
     rels = _rels(spark, sf_dir)
     ef = entity_findings(ents, build_doc_concept_edges(m))
     rf = relationship_findings(rels)
-    return validation_summary(ef, rf, ents.count(), rels.count())
+    return validation_summary_lazy(ef, rf, ents, rels)
 
 
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
