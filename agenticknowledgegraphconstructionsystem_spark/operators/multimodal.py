@@ -6,10 +6,11 @@ has two honest tiers:
 
 * ``fake=False`` REALLY decodes the uncompressed container formats that
   are parseable with the stdlib alone — 24-bit BI_RGB BMP
-  (:func:`decode_bmp`) and 16-bit PCM WAV (:func:`decode_wav`), both
-  ``struct``-based, pixel/sample values pytest-pinned — and raises
-  ``NotImplementedError`` for anything else (PNG/JPEG/MP3/... need
-  PIL/libvips/librosa, which this container does not ship).
+  (:func:`decode_bmp`), 16-bit PCM WAV (:func:`decode_wav`) and Y4M
+  video (:func:`decode_y4m`) — pixel/sample/frame values pytest-pinned —
+  and raises ``NotImplementedError`` for anything else
+  (PNG/JPEG/MP3/H.264/... need PIL/librosa/ffmpeg, which this container
+  does not ship).
 * ``decode_images(..., fake=True)`` substitutes a deterministic
   content-hash "decode" so the pipeline shape is exercised end to end on
   arbitrary payloads.
@@ -400,4 +401,128 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
             "payload",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real video tier: Y4M (YUV4MPEG2) — the uncompressed video container
+# that, like BMP and 16-bit WAV, is parseable with the stdlib alone.
+# ---------------------------------------------------------------------------
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, str, list[bytes]]:
+    """YUV4MPEG2 → (width, height, colorspace, y_planes) with one raw
+    luma plane (w·h bytes) per frame.  Supports C420* (chroma planes
+    w/2 · h/2) and C444 (full-size chroma); chroma is skipped — frame
+    sampling and luma statistics only need Y.  Raises ValueError for
+    non-Y4M bytes or unsupported colorspaces."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header newline")
+    width = height = 0
+    cs = "C420jpeg"  # spec default when omitted
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            cs = t
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if cs.startswith("C420"):
+        chroma = 2 * ((width // 2) * (height // 2))
+    elif cs == "C444":
+        chroma = 2 * width * height
+    else:
+        raise ValueError(f"unsupported colorspace {cs}")
+    y_size = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME header at byte {pos}")
+        start = fnl + 1
+        end = start + y_size + chroma
+        if end > len(payload):
+            raise ValueError("truncated frame payload")
+        frames.append(payload[start : start + y_size])
+        pos = end
+    return width, height, cs, frames
+
+
+def encode_y4m(y_planes: list[bytes], width: int, height: int) -> bytes:
+    """Inverse of :func:`decode_y4m` (C444; chroma filled with the
+    neutral 128) — test-fixture writer."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode()
+    chroma = b"\x80" * (2 * width * height)
+    body = b"".join(b"FRAME\n" + y + chroma for y in y_planes)
+    return head + body
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("y_mean_x1000", T.LongType(), True),
+        T.StructField("y_plane", T.BinaryType(), True),
+    ]
+)
+
+
+def decode_video_frames(
+    media: DataFrame, every_n: int = 10, fake: bool = True
+) -> DataFrame:
+    """mapInPandas frame sampling with decode: every ``every_n``-th frame
+    becomes one output row carrying the raw luma plane and its integer
+    mean (×1000, floor).  ``fake=False`` really parses Y4M payloads
+    (:func:`decode_y4m`, stdlib) and raises for compressed codecs (ffmpeg
+    territory); the fake path synthesizes digest-based frames so the
+    explode shape is exercised on arbitrary payloads.  Output payload
+    volume is bounded by (frames/every_n)·w·h regardless of input
+    container overhead — the property shuffle planning needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                if fake:
+                    d = hashlib.sha256(p).digest()
+                    n_frames = max(len(p) // 1000, 1)
+                    for i in range(0, n_frames, every_n):
+                        y = bytes(d[(i + j) % 32] for j in range(16))
+                        out.append(
+                            (mid, i, 4, 4, sum(y) * 1000 // len(y), y)
+                        )
+                    continue
+                try:
+                    w, h, _cs, frames = decode_y4m(bytes(p))
+                except ValueError as e:
+                    raise NotImplementedError(
+                        "real decode supports uncompressed Y4M only "
+                        f"(stdlib); compressed codecs need ffmpeg — {e}"
+                    ) from e
+                for i in range(0, len(frames), every_n):
+                    y = frames[i]
+                    out.append(
+                        (mid, i, w, h, sum(y) * 1000 // len(y), y)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "y_mean_x1000", "y_plane",
+                ],
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        fn, VIDEO_FRAMES_SCHEMA
     )

@@ -309,3 +309,47 @@ def test_streaming_corpus_stats_matches_batch(spark, tmp_path):
     )
     want = corpus_stats(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_y4m_roundtrip_and_frame_sampling(spark):
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_video_frames,
+        decode_y4m,
+        encode_y4m,
+    )
+
+    # 5 frames of 2x2 solid luma 0, 50, 100, 150, 200
+    planes = [bytes([v] * 4) for v in (0, 50, 100, 150, 200)]
+    payload = encode_y4m(planes, 2, 2)
+    assert decode_y4m(payload) == (2, 2, "C444", planes)
+
+    media = spark.createDataFrame(
+        [Row(media_id=3, kind="video", mime="video/x-yuv4mpeg",
+             payload=payload, meta="{}"),
+         Row(media_id=4, kind="image", mime="image/bmp", payload=b"BMxx", meta="{}")]
+    )
+    got = sorted(
+        (r["frame_idx"], r["y_mean_x1000"], bytes(r["y_plane"]))
+        for r in decode_video_frames(media, every_n=2, fake=False).collect()
+    )
+    # frames 0, 2, 4 sampled; mean*1000 exact; non-video rows excluded
+    assert got == [
+        (0, 0, planes[0]),
+        (2, 100_000, planes[2]),
+        (4, 200_000, planes[4]),
+    ]
+
+
+def test_decode_video_frames_rejects_compressed(spark):
+    import pytest as _pytest
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        decode_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="video", mime="video/mp4",
+             payload=b"\x00\x00\x00 ftypmp42", meta="{}")]
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|Y4M"):
+        decode_video_frames(media, fake=False).collect()
