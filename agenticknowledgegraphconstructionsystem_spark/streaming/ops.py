@@ -310,3 +310,25 @@ def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     from ..operators.textstats import corpus_stats
 
     return corpus_stats(docs)
+
+
+def drain_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all currently-available input into a parquet sink with a
+    durable checkpoint — the production shape for incremental crawl
+    processing: re-invoking after new input files land processes ONLY the
+    delta (the file-source offsets live in the checkpoint), and the file
+    sink's commit log makes the appends exactly-once across
+    crash/restart.  The batch pipeline's resume (StageStore manifests +
+    anti-join) and this checkpoint are the same idea at two granularities
+    — stage-level vs source-offset-level."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

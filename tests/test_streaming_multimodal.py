@@ -353,3 +353,56 @@ def test_decode_video_frames_rejects_compressed(spark):
     )
     with _pytest.raises(Exception, match="NotImplementedError|Y4M"):
         decode_video_frames(media, fake=False).collect()
+
+
+def test_checkpointed_drain_is_exactly_once_incremental(spark, tmp_path):
+    """Two availableNow drains over a growing input directory with ONE
+    checkpoint: the second drain processes only the newly-landed files,
+    and the union of sink output equals the batch run over all input —
+    no duplicates, no gaps (source offsets + sink commit log)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.mentions import (
+        clean_mentions,
+        detect_mentions_native,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        PAGES_SCHEMA,
+        synthetic_pages_rows,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        drain_to_parquet,
+        streaming_mentions,
+    )
+
+    rows = synthetic_pages_rows(40)
+    for r in rows:  # pre-extracted text path for the stream
+        r["text"] = r["html"].decode("utf-8", "replace")
+    all_pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    b1 = all_pages.where("url < 'https://example.org/paper/00025'")
+    b2 = all_pages.where("url >= 'https://example.org/paper/00025'")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    b1.write.mode("append").parquet(in_dir)
+
+    def stream():
+        return streaming_mentions(
+            spark.readStream.schema(PAGES_SCHEMA).parquet(in_dir)
+        )
+
+    drain_to_parquet(stream(), out_dir, ck_dir)
+    n1 = spark.read.parquet(out_dir).count()
+
+    b2.write.mode("append").parquet(in_dir)
+    drain_to_parquet(stream(), out_dir, ck_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > n1
+
+    batch = detect_mentions_native(
+        all_pages.select(
+            "url", F.col("text").alias("extracted_text")
+        )
+    )
+    key = lambda df: sorted(
+        (r["url"], r["name"], r["pos"]) for r in df.collect()
+    )
+    assert key(got) == key(batch)
