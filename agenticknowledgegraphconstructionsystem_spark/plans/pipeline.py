@@ -310,11 +310,25 @@ class Pipeline:
         n_new = new_docs.count()
         if n_new == 0:
             return new_docs
-        new_docs.write.mode("append").parquet(f"{self.store.base_dir}/extract")
-        self._bump_manifest("extract", n_new)
         incremental_mentions = (
             self.dedup_mode is None and self.store.is_committed("mentions")
         )
+        # Crash ordering: invalidate the corpus-level stages BEFORE any
+        # append lands — a crash after the appends but before the
+        # uncommits would otherwise leave stale downstream commits over an
+        # enlarged extract table.  With this order a crash at any point
+        # either (a) loses the whole increment (downstream rebuilds from
+        # the old tables — consistent, the increment is retryable via the
+        # same anti-join) or (b) lands the appends with downstream already
+        # invalidated.  The appends themselves go through Spark's file
+        # output committer, so an aborted job leaves no visible partial
+        # part-files.
+        keep = {"extract"} | ({"mentions"} if incremental_mentions else set())
+        for stage in STAGES:
+            if stage not in keep:
+                self.store.uncommit(stage)
+        new_docs.write.mode("append").parquet(f"{self.store.base_dir}/extract")
+        self._bump_manifest("extract", n_new)
         if incremental_mentions:
             t0 = time.time()
             delta_m = clean_mentions(detect_mentions_native(new_docs)).localCheckpoint()
@@ -324,10 +338,6 @@ class Pipeline:
                 "mentions", delta_m, n_new, int((time.time() - t0) * 1000)
             )
             self._bump_manifest("mentions", n_delta)
-        keep = {"extract"} | ({"mentions"} if incremental_mentions else set())
-        for stage in STAGES:
-            if stage not in keep:
-                self.store.uncommit(stage)
         return new_docs
 
     # -- the pipeline ----------------------------------------------------
