@@ -238,3 +238,89 @@ def test_reference_sql_views(spark, tmp_path):
         "SELECT name FROM top_concepts WHERE paper_count >= 1 LIMIT 1"
     ).collect()
     assert one
+
+
+def test_reference_sample_queries_run_on_views(spark, tmp_path):
+    """db_init.py:218-273 stores five sample SQL queries a reference user
+    runs against its Postgres schema.  Schema-adapted (papers keyed by
+    url, concepts by name, is_seminal = min url per the hub-spoke
+    semantics, ts_rank -> the token-overlap analog the kg_text_search
+    gate pins), all five run through the registered Spark views and
+    return sane results."""
+    from pyspark.sql import functions as F
+
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.views import (
+        register_views,
+    )
+
+    r = Pipeline(spark, str(tmp_path / "sq"), run_id="sq").run(
+        synthetic_pages(spark, 60)
+    )
+    register_views(r)
+
+    # Q1 — papers that improve the seminal paper, by confidence
+    q1 = spark.sql("""
+        SELECT pr.source_url AS improving_paper, pr.explanation,
+               pr.confidence_pct
+        FROM paper_relationships pr
+        WHERE pr.target_url = (SELECT MIN(url) FROM papers)
+          AND pr.rel_type = 'improves_on'
+        ORDER BY pr.confidence_pct DESC
+    """).collect()
+    assert all(row["confidence_pct"] >= 0 for row in q1)
+
+    # Q2 — most mentioned concepts (verbatim modulo LIMIT keyword order)
+    q2 = spark.sql("""
+        SELECT name, concept_type, mention_count
+        FROM concepts ORDER BY mention_count DESC LIMIT 10
+    """).collect()
+    assert len(q2) == 10
+    from agenticknowledgegraphconstructionsystem_spark.operators.entities import (
+        top_concepts,
+    )
+
+    op = top_concepts(r["entities"], k=10).collect()
+    assert {row["name"] for row in q2} == {row["name"] for row in op}
+
+    # Q3 — papers similar to the seminal by shared concepts
+    q3 = spark.sql("""
+        SELECT p2.url AS similar_paper, COUNT(DISTINCT pc1.name) AS shared_concepts
+        FROM papers p1
+        JOIN paper_concepts pc1 ON p1.url = pc1.url
+        JOIN paper_concepts pc2 ON pc1.name = pc2.name
+        JOIN papers p2 ON pc2.url = p2.url
+        WHERE p1.url = (SELECT MIN(url) FROM papers) AND p2.url != p1.url
+        GROUP BY p2.url ORDER BY shared_concepts DESC LIMIT 10
+    """).collect()
+    assert len(q3) == 10 and q3[0]["shared_concepts"] >= q3[-1]["shared_concepts"]
+
+    # Q4 — full-text search analog (token-overlap AND ranking; the
+    # reference's to_tsquery is Postgres-specific even there)
+    q4 = spark.sql("""
+        SELECT url,
+               (length(' ' || lower(extracted_text) || ' ')
+                - length(replace(' ' || lower(extracted_text) || ' ', ' spark ', '')))
+               DIV 7 AS rank
+        FROM papers
+        WHERE lower(extracted_text) LIKE '%spark%'
+        ORDER BY rank DESC, url LIMIT 10
+    """).collect()
+    assert q4 and all(row["rank"] >= 0 for row in q4)
+
+    # Q5 — papers with no relationships (potential issues)
+    q5 = spark.sql("""
+        SELECT p.url FROM papers p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM paper_relationships
+            WHERE source_url = p.url OR target_url = p.url)
+    """).collect()
+    # hub-spoke: every non-seminal doc with mentions gets a relationship
+    # row, so the survivor set is small but well-defined
+    n_docs = spark.sql("SELECT COUNT(*) AS n FROM papers").collect()[0]["n"]
+    assert 0 <= len(q5) < n_docs
