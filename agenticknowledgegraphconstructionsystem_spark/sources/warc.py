@@ -1,0 +1,143 @@
+"""WARC ingestion — the first mile of a Common-Crawl-style pipeline.
+
+The north-star input is "an Iceberg table of Common-Crawl-style web
+pages"; Common Crawl itself ships WARC files (ISO 28500: text
+header block + Content-Length-delimited body per record).  This module
+parses WARC/1.x with the stdlib alone and exposes it as a Spark source:
+
+* :func:`parse_warc` — pure bytes → records (testable without Spark);
+  ``response`` records yield (url, warc_date, http_payload) with the
+  HTTP response headers stripped; other record types (warcinfo, request,
+  metadata) are skipped.
+* :func:`read_warc_pages` — ``binaryFile`` scan → ``mapInPandas`` parse
+  → the canonical pages schema (url, warc_ts, html, text=NULL, lang=NULL),
+  ready for ``operators.extract.extract_docs``.
+
+Scale shape: one WARC file = one ``binaryFile`` row = one parse call, so
+parallelism follows the file count (Common Crawl segments are ~1 GB —
+thousands of files per crawl → thousands of tasks); the parser streams
+record-by-record through one bytes object and the Arrow batch carries at
+most a handful of files, bounding executor memory.  Gzip members
+(Common Crawl stores per-record gzip) are decompressed with stdlib zlib
+when the file starts with the gzip magic.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .pages import PAGES_SCHEMA
+
+
+def _split_headers(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:  # line 0 is the version line
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.decode("ascii", "replace").strip().lower()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+    return out
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated per-record gzip members → one plain byte stream."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data[pos:]))
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"corrupt gzip member at byte {pos}")
+        pos += consumed
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
+    """WARC/1.x bytes → [(target_uri, warc_date, http_payload)] for every
+    ``response`` record.  The HTTP response header block inside the body
+    is stripped (payload = what follows the first CRLFCRLF); records
+    without one (non-HTTP captures) keep the full body.  Raises
+    ValueError on malformed framing."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[tuple[str, str, bytes]] = []
+    pos = 0
+    while pos < len(data):
+        # skip inter-record blank lines
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= len(data):
+            break
+        if not data[pos : pos + 5] == b"WARC/":
+            raise ValueError(f"bad record header at byte {pos}")
+        he = data.find(b"\r\n\r\n", pos)
+        if he < 0:
+            raise ValueError("unterminated WARC header block")
+        headers = _split_headers(data[pos:he])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"missing/bad Content-Length at byte {pos}") from e
+        body = data[he + 4 : he + 4 + length]
+        if len(body) < length:
+            raise ValueError("truncated WARC record body")
+        if headers.get("warc-type") == "response":
+            url = headers.get("warc-target-uri", "")
+            date = headers.get("warc-date", "")
+            hb = body.find(b"\r\n\r\n")
+            payload = body[hb + 4 :] if hb >= 0 else body
+            records.append((url, date, payload))
+        pos = he + 4 + length
+    return records
+
+
+def write_warc(records: list[tuple[str, str, bytes]]) -> bytes:
+    """Inverse of :func:`parse_warc` (response records with a minimal HTTP
+    200 header block) — test-fixture writer."""
+    out = []
+    for url, date, payload in records:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+        ).encode()
+        out.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+    return b"".join(out)
+
+
+def _parse_warc_date(s: str) -> _dt.datetime | None:
+    try:
+        return _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → the canonical pages DataFrame (url, warc_ts, html,
+    text=NULL, lang=NULL).  ``binaryFile`` brings each WARC in as one
+    row; parsing runs executor-side in mapInPandas."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, date, payload in parse_warc(bytes(content)):
+                    rows.append(
+                        (url, _parse_warc_date(date), payload, None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(fn, PAGES_SCHEMA)
