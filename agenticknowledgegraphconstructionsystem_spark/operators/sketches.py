@@ -98,8 +98,12 @@ def stratified_sample_topk(
         raise ValueError("k must be >= 1")
     h = _key_hash(df, key_col, salt)
     w = Window.partitionBy(group_col).orderBy("_strat_h", key_col)
+    # NULL keys are dropped, matching hash_sample (a NULL hash would also
+    # sort NULLS-FIRST in Spark but NULLS-LAST in SQL engines — a silent
+    # cross-engine divergence this filter forecloses)
     return (
-        df.withColumn("_strat_h", h)
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_strat_h", h)
         .withColumn("_strat_rn", F.row_number().over(w))
         .where(F.col("_strat_rn") <= k)
         .drop("_strat_h", "_strat_rn")
