@@ -44,7 +44,18 @@ def suite_query(members):
     """members: [(gate_name, query_fn, oracle_sql, column_list), ...]"""
 
     def q(spark, sf_dir):
-        dfs = [norm_rows(fn(spark, sf_dir), g) for g, fn, _sql, _cols in members]
+        dfs = []
+        for g, fn, _sql, cols in members:
+            df = fn(spark, sf_dir)
+            # Fail fast, naming the member, if a query's select list drifts
+            # from the declared oracle column list — otherwise the drift
+            # surfaces only as an opaque suite-hash mismatch in a sweep.
+            if list(df.columns) != list(cols):
+                raise AssertionError(
+                    f"suite member {g!r}: Spark columns {list(df.columns)} "
+                    f"!= declared oracle columns {list(cols)}"
+                )
+            dfs.append(norm_rows(df, g))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

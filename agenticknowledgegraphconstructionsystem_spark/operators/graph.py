@@ -57,12 +57,22 @@ def comention_edges(
 
     min_rel = S.MIN_RELEVANCE_PCT if min_relevance_pct is None else min_relevance_pct
     mf = mentions.where(F.col("relevance_pct") >= min_rel).select(key, "name")
-    n_docs = mf.select(key).distinct().count()
-    cap = max(int(n_docs * df_cap_frac), df_cap_min)
+    # df cap computed IN-PLAN (1-row corpus-size aggregate broadcast into
+    # the df filter — the exact shape of the DuckDB twin's nd CTE), so
+    # building this DataFrame triggers zero driver-side Spark jobs and the
+    # whole thing stays one lazy plan.
+    nd = mf.select(F.countDistinct(key).alias("n_docs"))
     keep = (
         mf.groupBy("name")
         .agg(F.countDistinct(key).alias("df"))
-        .where(F.col("df") <= cap)
+        .crossJoin(F.broadcast(nd))
+        .where(
+            F.col("df")
+            <= F.greatest(
+                F.floor(F.col("n_docs") * F.lit(df_cap_frac)).cast("long"),
+                F.lit(int(df_cap_min)).cast("long"),
+            )
+        )
         .select("name")
     )
     mfk = mf.join(F.broadcast(keep), "name")

@@ -257,19 +257,6 @@ class Pipeline:
         return base.join(losers, "url", "left_anti")
 
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
-    def _bump_manifest(self, stage: str, added_rows: int) -> None:
-        """Keep the stage manifest's row count truthful after an append."""
-        import json as _json
-        import os as _os
-
-        m = self.store.manifest(stage)
-        m["rows"] = int(m.get("rows", 0)) + int(added_rows)
-        m["appended_at"] = time.time()
-        tmp = self.store._manifest(stage) + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(m, f)
-        _os.replace(tmp, self.store._manifest(stage))
-
     def ingest_increment(self, pages: DataFrame) -> DataFrame:
         """database.ts:66-81 semantics lifted to sets: extract ONLY pages
         whose url has no committed extract output (J7 anti-join), append,
@@ -327,17 +314,15 @@ class Pipeline:
         for stage in STAGES:
             if stage not in keep:
                 self.store.uncommit(stage)
-        new_docs.write.mode("append").parquet(f"{self.store.base_dir}/extract")
-        self._bump_manifest("extract", n_new)
+        self.store.append("extract", new_docs, n_new)
         if incremental_mentions:
             t0 = time.time()
             delta_m = clean_mentions(detect_mentions_native(new_docs)).localCheckpoint()
             n_delta = delta_m.count()
-            delta_m.write.mode("append").parquet(f"{self.store.base_dir}/mentions")
+            self.store.append("mentions", delta_m, n_delta)
             self._lineage_rows(
                 "mentions", delta_m, n_new, int((time.time() - t0) * 1000)
             )
-            self._bump_manifest("mentions", n_delta)
         return new_docs
 
     # -- the pipeline ----------------------------------------------------

@@ -46,12 +46,18 @@ def _split_headers(block: bytes) -> dict[str, str]:
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated per-record gzip members → one plain byte stream."""
+    """Concatenated per-record gzip members → one plain byte stream.
+
+    Raises ValueError (never zlib.error) so :func:`parse_warc`'s documented
+    malformed-framing contract holds for corrupt gzip bytes too."""
     out = []
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data[pos:]))
+        try:
+            out.append(d.decompress(data[pos:]))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member at byte {pos}: {e}") from e
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError(f"corrupt gzip member at byte {pos}")
@@ -115,11 +121,19 @@ def write_warc(records: list[tuple[str, str, bytes]]) -> bytes:
     return b"".join(out)
 
 
-def _parse_warc_date(s: str) -> _dt.datetime | None:
+#: Sentinel for missing/unparseable WARC-Date.  PAGES_SCHEMA declares
+#: warc_ts non-nullable and mapInPandas does NOT enforce nullability, so a
+#: Python None here would let Catalyst mis-optimize (fold IS NULL filters,
+#: skip null checks) — substitute the Unix epoch so the declared contract
+#: actually holds on malformed crawl data.
+WARC_TS_SENTINEL = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _parse_warc_date(s: str) -> _dt.datetime:
     try:
         return _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
     except ValueError:
-        return None
+        return WARC_TS_SENTINEL
 
 
 def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:

@@ -104,3 +104,26 @@ def test_read_warc_pages_feeds_the_pipeline(spark, tmp_path):
     assert got == want and len(got) == len(recs)
     # warc_ts survived the parse
     assert pages.where("warc_ts IS NULL").count() == 0
+
+
+def test_warc_malformed_contracts():
+    """parse_warc's documented contract: ValueError (never zlib.error) on
+    corrupt input; missing/bad WARC-Date → the non-null sentinel epoch so
+    the PAGES_SCHEMA nullable=False declaration stays truthful."""
+    import pytest
+
+    from agenticknowledgegraphconstructionsystem_spark.sources.warc import (
+        WARC_TS_SENTINEL,
+        _parse_warc_date,
+        parse_warc,
+    )
+
+    # corrupt gzip bytes must surface as ValueError, not zlib.error
+    with pytest.raises(ValueError):
+        parse_warc(b"\x1f\x8b" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC RECORD\r\n\r\n")
+
+    assert _parse_warc_date("not-a-date") == WARC_TS_SENTINEL
+    assert _parse_warc_date("") == WARC_TS_SENTINEL
+    assert _parse_warc_date("2025-01-02T12:30:00Z").year == 2025
