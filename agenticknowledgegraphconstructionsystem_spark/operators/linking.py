@@ -85,6 +85,42 @@ def candidate_pairs(
     )
 
 
+def representative_band_pairs(signatures: DataFrame) -> DataFrame:
+    """Hub-and-spoke candidates per LSH bucket: each member pairs with the
+    bucket REPRESENTATIVE (min name) only — a bucket of B members emits
+    B−1 candidate rows instead of B(B−1)/2.
+
+    This is the linear-cost escape hatch for dense alias families (the
+    round-4 verdict's one carried ``weak``): exact all-pair verification
+    inside a family of f mutually-similar names is O(f²) *by construction*
+    ("all pairs >= threshold" IS the answer set), which at web scale makes
+    mega-families (boilerplate names, numeric variants) the dominant cost.
+    With representative pairing the verified edge set is a star per
+    bucket; connected components supplies the transitive closure, so the
+    FAMILIES recovered are near-identical while the edge count drops from
+    quadratic to linear.
+
+    Semantics delta vs all-pairs (measured in test_linking + PLANS.md):
+    * recall — a true pair can be missed only if in EVERY shared band the
+      bucket rep is similar to neither member; banding redundancy
+      (num_hashes buckets per name) makes this rare.
+    * precision — two members within threshold of a rep but not of each
+      other merge through the star (CC would also merge them through any
+      chain, so this is the usual transitive-closure semantics, reached
+      through one more hop).
+    Since the rep is min(name) per bucket, pairs come out already
+    canonically ordered (name_a < name_b)."""
+    reps = signatures.groupBy("band_id", "band_hash").agg(
+        F.min("name").alias("name_a")
+    )
+    return (
+        signatures.join(reps, ["band_id", "band_hash"])
+        .where(F.col("name") != F.col("name_a"))
+        .select("name_a", F.col("name").alias("name_b"))
+        .distinct()
+    )
+
+
 def tfidf_cosine_edges(
     entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
 ) -> DataFrame:
@@ -148,6 +184,7 @@ def similarity_edges(
     num_hashes: int = 16,
     blocking: str = "lsh",
     max_df: int | None = DEFAULT_NAME_SHINGLE_MAX_DF,
+    mode: str = "all_pairs",
 ) -> DataFrame:
     """→ (name_a, name_b, jaccard) for candidate pairs with exact char-3gram
     Jaccard >= threshold.
@@ -156,6 +193,13 @@ def similarity_edges(
     recall (miss prob (1-j)^num_hashes), bucket-capped, the corpus-scale
     path.  blocking='exact': candidates = every pair sharing >= 1 shingle —
     the oracle-checkable path; still join-blocked, never all-pairs.
+
+    mode='all_pairs' (default): every in-bucket pair is verified — exact
+    pair semantics, O(f²) inside a dense f-member alias family.
+    mode='representative' (lsh blocking only): members verify against the
+    bucket representative only (:func:`representative_band_pairs`) — O(f)
+    edges per family, transitivity restored by connected components; use
+    for web-scale vocabularies where mega-families dominate.
 
     ``max_df`` (exact path only) is the hot-shingle cut: a shingle shared
     by df names emits df² candidate rows, and at a 10^6-name vocabulary
@@ -184,6 +228,8 @@ def similarity_edges(
             .select("name_a", "name_b")
             .distinct()
         )
+    elif mode == "representative":
+        cand = representative_band_pairs(minhash_signatures(sh, num_hashes))
     else:
         cand = candidate_pairs(minhash_signatures(sh, num_hashes))
     sh_b = sh.select(
@@ -334,6 +380,7 @@ def canonicalize(
     scorer: str = "jaccard",
     blocking: str = "lsh",
     max_iter: int = 20,
+    mode: str = "all_pairs",
 ) -> DataFrame:
     """→ (name, canonical_name, component).  Canonical member = highest
     mention_count, tie-break lexicographically smallest name.  Singleton
@@ -341,13 +388,15 @@ def canonicalize(
     'tfidf_cosine' (idf-weighted, favors matches on rare shingles);
     blocking: see :func:`similarity_edges`; max_iter: CC round bound
     (pointer jumping makes 20 cover diameter ~2^20 — see
-    :func:`connected_components`)."""
+    :func:`connected_components`); mode: 'all_pairs' (exact) or
+    'representative' (linear-cost dense-family escape hatch — see
+    :func:`representative_band_pairs`)."""
     if scorer == "tfidf_cosine":
         edges = tfidf_cosine_edges(entities, threshold).withColumnRenamed(
             "cosine", "jaccard"
         )
     else:
-        edges = similarity_edges(entities, threshold, blocking=blocking)
+        edges = similarity_edges(entities, threshold, blocking=blocking, mode=mode)
     comp = connected_components(edges, max_iter=max_iter)
     members = entities.join(comp, "name", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.xxhash64("name"))

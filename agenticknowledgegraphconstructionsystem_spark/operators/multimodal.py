@@ -4,13 +4,14 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partition-count
 preservation, mapInPandas iterator contracts) is real and tested.  Decode
 has two honest tiers:
 
-* ``fake=False`` REALLY decodes the uncompressed container formats that
-  are parseable with the stdlib alone — 24-bit BI_RGB BMP
-  (:func:`decode_bmp`), 16-bit PCM WAV (:func:`decode_wav`) and Y4M
-  video (:func:`decode_y4m`) — pixel/sample/frame values pytest-pinned —
-  and raises ``NotImplementedError`` for anything else
-  (PNG/JPEG/MP3/H.264/... need PIL/librosa/ffmpeg, which this container
-  does not ship).
+* ``fake=False`` REALLY decodes the container formats that are parseable
+  with the stdlib alone — 24-bit BI_RGB BMP (:func:`decode_bmp`), 8-bit
+  RGB/RGBA non-interlaced PNG (:func:`decode_png` — DEFLATE is stdlib
+  zlib, so the one compressed format web crawls are full of decodes for
+  real), 16-bit PCM WAV (:func:`decode_wav`) and Y4M video
+  (:func:`decode_y4m`) — pixel/sample/frame values pytest-pinned — and
+  raises ``NotImplementedError`` for anything else (JPEG/MP3/H.264/...
+  need PIL/librosa/ffmpeg, which this container does not ship).
 * ``decode_images(..., fake=True)`` substitutes a deterministic
   content-hash "decode" so the pipeline shape is exercised end to end on
   arbitrary payloads.
@@ -29,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,6 +97,136 @@ def encode_bmp(rows: list[list[tuple[int, int, int]]]) -> bytes:
     header = struct.pack("<2sIHHI", b"BM", data_off + len(pix), 0, 0, data_off)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
     return header + dib + pix
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """8-bit RGB/RGBA non-interlaced PNG → (width, height, rows),
+    rows[y][x] = (r, g, b) top-down; the alpha channel (color type 6) is
+    parsed and dropped.  Pure stdlib: chunk walk + zlib inflate of the
+    concatenated IDAT stream + per-scanline unfilter (None/Sub/Up/
+    Average/Paeth — the five filters of the PNG spec §9).  Raises
+    ValueError for palette/gray/16-bit/interlaced flavors and corrupt
+    streams.  PNG is the one compressed format a web crawl actually
+    contains that is fully decodable without native libs (DEFLATE is
+    stdlib zlib) — JPEG stays an honest NotImplementedError."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise ValueError(
+                    f"only 8-bit RGB/RGBA supported (bit depth {bit_depth}, "
+                    f"color type {color_type})"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported compression/filter/interlace method")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
+    bpp = 4 if color_type == 6 else 3
+    stride = width * bpp
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    rows: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        rows.append(
+            [
+                (line[x * bpp], line[x * bpp + 1], line[x * bpp + 2])
+                for x in range(width)
+            ]
+        )
+        prev = line
+    return width, height, rows
+
+
+def encode_png(
+    rows: list[list[tuple[int, int, int]]], filter_type: int = 0
+) -> bytes:
+    """Inverse of :func:`decode_png` (8-bit RGB, non-interlaced) — test-
+    fixture writer.  ``filter_type`` selects the per-scanline filter
+    (0=None default; 1=Sub/2=Up exercised by the unfilter pytest)."""
+    h, w = len(rows), len(rows[0])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        line = b"".join(bytes(px) for px in rows[y])
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif filter_type == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        else:
+            raise ValueError(f"encode supports filter 0/1/2, not {filter_type}")
+        prev = line
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
@@ -178,12 +310,26 @@ def _fake_decode(payload: bytes | None, dim: int) -> tuple[int, int, int, list[f
     return len(payload), width, height, feats
 
 
+def decode_image_any(
+    payload: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Magic-byte dispatch over the real-decode image tier: BMP
+    (:func:`decode_bmp`) or PNG (:func:`decode_png`) → (w, h, rows).
+    Raises ValueError for anything else (JPEG/WebP/... stay honest
+    NotImplementedError territory in the mapInPandas wrappers)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("not a BMP or PNG payload")
+
+
 def _bmp_features(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
-    """Real decode + feature-extract for BMP payloads: features[0:3] are
-    the channel means in [0,1]; the remaining dim-3 slots are a
+    """Real decode + feature-extract for BMP/PNG payloads: features[0:3]
+    are the channel means in [0,1]; the remaining dim-3 slots are a
     normalized luminance histogram.  Pure pixel arithmetic — pinned by a
     pytest with hand-computed values."""
-    w, h, rows = decode_bmp(payload)
+    w, h, rows = decode_image_any(payload)
     n = w * h
     sums = [0, 0, 0]
     n_bins = max(dim - 3, 1)
@@ -205,9 +351,10 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     yields result batches — constant memory regardless of partition size.
 
     ``fake=False`` really decodes uncompressed 24-bit BMP payloads
-    (stdlib ``struct``, :func:`decode_bmp`) and raises
-    ``NotImplementedError`` for compressed formats, which need
-    PIL/libvips this container does not ship."""
+    (stdlib ``struct``, :func:`decode_bmp`) and 8-bit RGB/RGBA
+    non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), and raises
+    ``NotImplementedError`` for other formats (JPEG/WebP need
+    PIL/libvips this container does not ship)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,8 +371,8 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                     except ValueError as e:
                         raise NotImplementedError(
                             "real decode supports uncompressed 24-bit BMP "
-                            "only (stdlib); other formats need PIL/libvips "
-                            f"— payload rejected: {e}"
+                            "and 8-bit RGB/RGBA PNG (stdlib); other formats "
+                            f"need PIL/libvips — payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(
                 {
@@ -254,8 +401,9 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:
     """mapInPandas image resize.  ``fake=False`` really resizes
-    uncompressed 24-bit BMP payloads — :func:`decode_bmp` →
-    nearest-neighbor resample → :func:`encode_bmp`, all stdlib — and
+    uncompressed 24-bit BMP and 8-bit RGB/RGBA PNG payloads —
+    :func:`decode_image_any` → nearest-neighbor resample → re-encode in
+    the SAME container (BMP→BMP, PNG→PNG), all stdlib — and
     raises ``NotImplementedError`` for other formats.  The fake path
     emits a deterministic pseudo-thumbnail (content digest tiled to
     width·height bytes) so batch shape, schema, and payload-size
@@ -264,12 +412,13 @@ def resize_images(
     property that matters for shuffle planning downstream."""
 
     def _resize_bmp(p: bytes) -> bytes:
-        w0, h0, rows = decode_bmp(p)
+        is_png = p[:8] == _PNG_SIG
+        w0, h0, rows = decode_image_any(p)
         out_rows = [
             [rows[y * h0 // height][x * w0 // width] for x in range(width)]
             for y in range(height)
         ]
-        return encode_bmp(out_rows)
+        return encode_png(out_rows) if is_png else encode_bmp(out_rows)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,8 +436,8 @@ def resize_images(
                     except ValueError as e:
                         raise NotImplementedError(
                             "real resize supports uncompressed 24-bit BMP "
-                            "only (stdlib); other formats need PIL/libvips "
-                            f"— payload rejected: {e}"
+                            "and 8-bit RGB/RGBA PNG (stdlib); other formats "
+                            f"need PIL/libvips — payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(
                 {

@@ -102,6 +102,13 @@ def main() -> None:
     # measure the plan, not first-job setup
     spark.read.parquet(f"{sf_dir}/customer.parquet").count()
 
+    # host-load calibration BEFORE the sweep (and again after) — raw walls
+    # on this shared box are unattributable round-over-round; the fixed
+    # CPU workload's wall is the denominator that makes them comparable
+    from agenticknowledgegraphconstructionsystem_spark import calibration
+
+    cal_before = calibration.calibration_wall()
+
     # Share ONE materialized mentions DF across the kg_* gate queries —
     # the staged pipeline reuses its committed mentions stage the same way
     # (plans/pipeline.py); per-query re-detection in the bench was a
@@ -174,11 +181,13 @@ def main() -> None:
         lambda: _force(pairwise_shared_concepts(_mentions(spark, sf_dir))),
     )
 
+    cal_after = calibration.calibration_wall()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_triples_df = KG_QUERIES["kg_triples"](spark, sf_dir)
     n_triples = n_triples_df.count()
     kg_sec = timings["kg_triples"]
     total = round(sum(timings.values()), 3)
+    cal_mean = round((cal_before + cal_after) / 2, 3)
     out = {
         "metric": "total_bench_sec",
         "value": total,
@@ -187,6 +196,17 @@ def main() -> None:
         "repeats": REPEATS,
         "sf": sf_dir,
         "cpus": cpus,
+        # load-normalized score: total in units of the fixed calibration
+        # workload's wall at bench time.  Compare THIS across rounds;
+        # raw seconds only within one session.
+        "calibration": {
+            "before_sec": cal_before,
+            "after_sec": cal_after,
+            "mean_sec": cal_mean,
+            "n_procs": calibration.N_PROCS,
+            "n_iters": calibration.N_ITERS,
+        },
+        "value_load_normalized": round(total / cal_mean, 2),
         "throughput": {
             "docs_per_sec": round(n_docs / kg_sec, 1),
             "triples_per_sec": round(n_triples / kg_sec, 1),

@@ -75,6 +75,61 @@ def test_canonicalize_picks_highest_mention_count(spark):
     assert mapping["lonely"] == "lonely"  # singleton maps to itself
 
 
+def _partition(mapping_rows):
+    """component → frozenset(names) from canonicalize() output rows."""
+    by_comp: dict = {}
+    for r in mapping_rows:
+        by_comp.setdefault(r["component"], set()).add(r["name"])
+    return {frozenset(v) for v in by_comp.values()}
+
+
+def test_representative_mode_refines_and_recovers_families(spark):
+    """mode='representative' (the dense-family O(f) escape hatch):
+
+    1. Edge precision is 1.0 BY CONSTRUCTION — every emitted edge passed
+       the same exact-Jaccard verify, so rep-mode components can only
+       REFINE all-pairs components (under-merge is the sole failure mode;
+       over-merge is impossible).  Asserted structurally.
+    2. On the alias/decoy fixture and a 20-member dense family, the
+       recovered families are IDENTICAL (merge-recall 1.0) while the
+       verified edge count drops from quadratic to linear."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+        representative_band_pairs,
+    )
+
+    names = [
+        "spark", "sparks", "table scan", "table-scan", "hash join",
+        "hash-join", "hashjoin", "sort merge join", "sort-merge join",
+        "unrelated thing", "sprk", "tbl scan",
+    ] + [f"gradient boosting v{i}" for i in range(20)]  # dense alias family
+    ents = _ents(spark, [(n, 1) for n in names])
+
+    exact = _partition(canonicalize(ents, mode="all_pairs").collect())
+    rep = _partition(canonicalize(ents, mode="representative").collect())
+
+    # refinement: every rep family sits inside exactly one exact family
+    for fam in rep:
+        assert any(fam <= ex for ex in exact), f"over-merge: {fam}"
+    # on this fixture the escape hatch loses nothing: identical families
+    assert rep == exact
+
+    # edge economy: linear star edges, not the quadratic pair set
+    n_all = similarity_edges(ents, mode="all_pairs").count()
+    n_rep = similarity_edges(ents, mode="representative").count()
+    # dense 20-family alone contributes 190 all-pairs edges; rep mode
+    # emits at most (members-1) * bands-worth of distinct star edges
+    assert n_rep < n_all
+    # candidate space itself is linear per bucket
+    from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+        minhash_signatures,
+        name_shingles,
+    )
+
+    sigs = minhash_signatures(name_shingles(ents))
+    cand = representative_band_pairs(sigs)
+    assert cand.count() <= ents.count() * 16  # <= (B-1) summed per band
+
+
 def test_repoint_mentions(spark):
     ents = _ents(spark, [("spark", 100), ("sparks", 1)])
     mapping = canonicalize(ents)

@@ -208,6 +208,108 @@ def test_decode_images_real_bmp_through_mapinpandas(spark):
     assert abs(f2[3 + 4] - 1.0) < 1e-6  # white: top luminance bin
 
 
+def test_png_roundtrip_filters_and_rejections():
+    """decode_png: roundtrip through encode_png filters 0/1/2; RGBA (color
+    type 6) decodes with alpha dropped; Paeth (filter 4) decoded against
+    an independently hand-filtered stream; non-PNG / interlaced raise."""
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    rows = [[(255, 0, 0), (0, 255, 0), (17, 34, 51)],
+            [(0, 0, 255), (255, 255, 255), (1, 2, 3)]]
+    for ft in (0, 1, 2):
+        assert decode_png(encode_png(rows, filter_type=ft)) == (3, 2, rows)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", _z.crc32(t + d))
+
+    # RGBA + Paeth, hand-filtered (reference implementation of spec §9.4)
+    raw = bytearray()
+    prev = bytes(3 * 4)
+    rgba = [[px + (200,) for px in r] for r in rows]
+    for y in range(2):
+        line = b"".join(bytes(px) for px in rgba[y])
+        enc = bytearray([4])
+        for i in range(len(line)):
+            a = line[i - 4] if i >= 4 else 0
+            b_ = prev[i]
+            c = prev[i - 4] if i >= 4 else 0
+            p = a + b_ - c
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+            enc.append((line[i] - pred) & 0xFF)
+        raw += enc
+        prev = line
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (3, 2, rows)  # alpha dropped, pixels exact
+
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+    interlaced = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(ValueError):
+        decode_png(interlaced)
+    with pytest.raises(ValueError):  # corrupt deflate stream
+        decode_png(
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"\x00bad")
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_decode_and_resize_real_png_through_mapinpandas(spark):
+    """The driver-facing PNG path: mixed BMP+PNG media decode to identical
+    features for identical pixels, and resize re-encodes PNG→PNG."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    red_rows = [[(255, 0, 0)] * 4] * 2
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, kind="image", mime="image/bmp",
+                payload=encode_bmp(red_rows), meta="{}"),
+            Row(media_id=2, kind="image", mime="image/png",
+                payload=encode_png(red_rows), meta="{}"),
+        ]
+    )
+    got = {r["media_id"]: r for r in decode_images(media, dim=8, fake=False).collect()}
+    assert (got[2]["width"], got[2]["height"]) == (4, 2)
+    # same pixels → bit-identical features regardless of container
+    assert list(got[1]["features"]) == list(got[2]["features"])
+
+    split = [[(255, 0, 0)] * 2 + [(0, 0, 255)] * 2 for _ in range(4)]
+    media_png = spark.createDataFrame(
+        [Row(media_id=3, kind="image", mime="image/png",
+             payload=encode_png(split), meta="{}")]
+    )
+    out = resize_images(media_png, width=2, height=2, fake=False).collect()[0]
+    payload = bytes(out["payload"])
+    assert payload[:8] == _PNG_SIG  # PNG stays PNG
+    assert decode_png(payload) == (
+        2, 2, [[(255, 0, 0), (0, 0, 255)], [(255, 0, 0), (0, 0, 255)]]
+    )
+
+
 def test_decode_audio_real_wav_through_mapinpandas(spark):
     from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
         decode_audio,
