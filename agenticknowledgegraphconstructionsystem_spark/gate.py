@@ -172,12 +172,62 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: first N docs of every sf_dir travel through a REAL WARC file
+#: (serialize → per-file gzip → binaryFile scan → mapInPandas parse) in
+#: the kg_extract_html gate, so the WARC source has a driver-visible
+#: CORRECTNESS row; bounded so the driver-side serialization stays O(1)
+#: in corpus size at any sf
+WARC_GATE_DOCS = 200
+
+
+def _warc_roundtrip_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """Serialize ``pages`` rows into an actual gzip WARC file under /tmp
+    (content-addressed, written atomically, reused across repeats) and
+    read them back through the full :func:`sources.warc.read_warc_pages`
+    scan path.  Byte-identical html transport is exactly what the gate
+    then asserts via the extraction oracle."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.warc import read_warc_pages, write_warc
+
+    rows = pages.select("url", "warc_ts", "html").orderBy("url").collect()
+    recs = [
+        (
+            r["url"],
+            r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"),
+            bytes(r["html"]),
+        )
+        for r in rows
+    ]
+    blob = gzip.compress(write_warc(recs))
+    digest = hashlib.md5(blob).hexdigest()
+    wdir = os.path.join(tempfile.gettempdir(), f"warc_gate_{digest}")
+    target = os.path.join(wdir, "crawl-00000.warc.gz")
+    if not os.path.exists(target):
+        os.makedirs(wdir, exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, target)
+    return read_warc_pages(spark, wdir)
+
+
 def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 byte-identical extraction through the REAL html path: documents
     are wrapped into pages html (sources.pages.pages_from_documents, text
     column nulled so every row pays the Arrow-UDF parse), extracted, and
     compared against the DuckDB oracle's string reconstruction of the
     reference semantics ('\\n--- Page 1 ---\\n' + text, outer strip).
+
+    The first :data:`WARC_GATE_DOCS` docs additionally travel through a
+    REAL WARC file (sources/warc.py — serialize, gzip, binaryFile scan,
+    mapInPandas parse) before extraction, so the Common-Crawl first mile
+    has a driver-visible CORRECTNESS row: any transport corruption
+    (framing, gzip, header stripping, date parse) breaks this gate's
+    hash.  The oracle is transport-independent by design.
 
     Assumption (probed, holds for the driver corpus): documents.text is
     tag-free.  A '<...>' substring in text would be stripped by the real
@@ -189,7 +239,16 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir).withColumn(
         "text", F.lit(None).cast("string")
     )
-    docs = extract_docs(pages)
+    docid = F.replace(
+        F.col("url"), F.lit("https://example.org/doc/"), F.lit("")
+    ).cast("long")
+    warc_branch = _warc_roundtrip_pages(
+        spark, pages.where((docid < WARC_GATE_DOCS) & F.col("html").isNotNull())
+    )
+    direct_branch = pages.where(
+        (docid >= WARC_GATE_DOCS) | F.col("html").isNull()
+    )
+    docs = extract_docs(warc_branch.unionByName(direct_branch))
     return docs.select(
         F.replace(F.col("url"), F.lit("https://example.org/doc/"), F.lit(""))
         .cast(_BIG)

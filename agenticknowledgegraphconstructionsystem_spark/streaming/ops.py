@@ -312,6 +312,121 @@ def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     return corpus_stats(docs)
 
 
+_ENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("mention_count", T.LongType()),
+        T.StructField("sum_rel", T.LongType()),
+        T.StructField("max_rel", T.LongType()),
+        T.StructField("min_rel", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+STREAM_ENTITIES_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("concept_type", T.StringType()),
+        T.StructField("mention_count", T.LongType()),
+        T.StructField("sum_relevance_pct", T.LongType()),
+        T.StructField("max_relevance_pct", T.LongType()),
+        T.StructField("min_relevance_pct", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def _entities_fn(key, pdf_iter, state: GroupState):
+    name, ctype = key
+    if state.exists:
+        mc, sr, xr, nr, ver = state.get
+    else:
+        mc, sr, xr, nr, ver = 0, 0, None, None, 0
+    urls: set = set()
+    for pdf in pdf_iter:
+        for url, rel in zip(pdf["url"], pdf["relevance_pct"]):
+            urls.add(url)
+            r = int(rel)
+            sr += r
+            xr = r if xr is None else max(xr, r)
+            nr = r if nr is None else min(nr, r)
+    mc += len(urls)
+    ver += 1
+    state.update((mc, sr, xr, nr, ver))
+    yield pd.DataFrame(
+        {
+            "name": [name],
+            "concept_type": [ctype],
+            "mention_count": [mc],
+            "sum_relevance_pct": [sr],
+            "max_relevance_pct": [xr],
+            "min_relevance_pct": [nr],
+            "version": [ver],
+        }
+    )
+
+
+def streaming_entities(mentions_stream: DataFrame) -> DataFrame:
+    """Stream-maintained A7 entities aggregate: the incremental
+    materialization twin of ``entities.build_entities`` — the entities
+    table stays current as crawl shards land, instead of being rebuilt
+    from the full mentions table per run.
+
+    State is one row per (name, concept_type) — vocabulary-sized, like
+    the batch aggregate's reducer state — and ``mention_count`` stays an
+    EXACT distinct-url count under the crawl-shard contract the file
+    source provides: each url arrives exactly once (resume anti-join /
+    checkpointed file offsets guarantee this), so batch-local distinct
+    urls sum to the global distinct count — the same
+    disjoint-partition argument as the batch operator's salt-by-url
+    two-phase aggregation (entities.py).  A url re-delivered across
+    micro-batches WOULD double-count; that is the documented contract,
+    not a silent approximation.
+
+    Each micro-batch emits the updated aggregate row tagged with a
+    monotonically increasing per-key ``version``; take the max-version
+    row per key (:func:`latest_entities`) for the current table.  The
+    batch-equivalence property (== build_entities on the drained corpus,
+    modulo entity_id) is pytest-pinned."""
+    return (
+        mentions_stream.select("url", "name", "concept_type", "relevance_pct")
+        .groupBy("name", "concept_type")
+        .applyInPandasWithState(
+            _entities_fn,
+            outputStructType=STREAM_ENTITIES_SCHEMA,
+            stateStructType=_ENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_entities(emitted: DataFrame) -> DataFrame:
+    """Batch helper over a drained :func:`streaming_entities` sink: keep
+    the max-version row per (name, concept_type) and add the
+    deterministic entity_id, yielding exactly the build_entities
+    schema."""
+    best = emitted.groupBy("name", "concept_type").agg(
+        F.max(
+            F.struct(
+                F.col("version").alias("v"),
+                F.col("mention_count").alias("mc"),
+                F.col("sum_relevance_pct").alias("sr"),
+                F.col("max_relevance_pct").alias("xr"),
+                F.col("min_relevance_pct").alias("nr"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.xxhash64("name").alias("entity_id"),
+        "name",
+        "concept_type",
+        F.col("b.mc").alias("mention_count"),
+        F.col("b.sr").alias("sum_relevance_pct"),
+        F.col("b.xr").cast("int").alias("max_relevance_pct"),
+        F.col("b.nr").cast("int").alias("min_relevance_pct"),
+    )
+
+
 def drain_to_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

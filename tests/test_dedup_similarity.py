@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 import math
 
@@ -68,6 +70,7 @@ def test_minhash_finds_near_dups(spark):
     assert got == set(_brute_jaccard())
 
 
+@pytest.mark.slow
 def test_simhash_exact_dup_has_zero_hamming(spark):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_df(spark)).collect()}
     assert sigs[0] == sigs[3]

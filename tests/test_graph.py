@@ -4,6 +4,8 @@ cannot exercise."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
@@ -126,6 +128,7 @@ def test_triangle_counts_orientation_invariant(spark):
     assert by_deg == by_id and by_deg
 
 
+@pytest.mark.slow
 def test_pagerank_tol_early_stop_is_exact_prefix(spark):
     """Early stop is a pure prefix: stopping after k iterations yields
     bit-identical scores to a tol-free run with iters=k — convergence

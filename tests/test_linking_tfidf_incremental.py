@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import Row
@@ -49,6 +51,7 @@ def test_tfidf_cosine_matches_brute_force(spark):
     assert ("spark", "sparks") in got
 
 
+@pytest.mark.slow
 def test_incremental_ingest(spark, tmp_path):
     all_pages = synthetic_pages(spark, 60)
     batch1 = all_pages.where("url < 'https://example.org/paper/00040'")

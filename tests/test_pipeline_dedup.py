@@ -53,6 +53,7 @@ def _planted_rows(rows: list[dict], max_copies: int = 4) -> tuple[list[dict], in
 
 
 @pytest.mark.parametrize("mode", ["minhash", "winnow"])
+@pytest.mark.slow
 def test_near_dedup_pipeline_matches_clean_oracle(spark, tmp_path, mode):
     rows = synthetic_pages_rows(N_DOCS)
     planted, n_copies = _planted_rows(rows)
@@ -85,6 +86,7 @@ def test_near_dedup_pipeline_matches_clean_oracle(spark, tmp_path, mode):
         assert got == exp, (key, sorted(got ^ exp)[:5])
 
 
+@pytest.mark.slow
 def test_near_dedup_stage_lineage_and_resume(spark, tmp_path):
     rows = synthetic_pages_rows(40)
     planted, _ = _planted_rows(rows, max_copies=2)

@@ -4,6 +4,8 @@ committed stages."""
 
 from __future__ import annotations
 
+import pytest
+
 from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import Pipeline
 from agenticknowledgegraphconstructionsystem_spark.sources.pages import synthetic_pages
 
@@ -12,6 +14,7 @@ def _triples(res):
     return {(r["subj"], r["pred"], r["obj"]) for r in res["triples"].collect()}
 
 
+@pytest.mark.slow
 def test_resume_after_kill(spark, tmp_path):
     pages = synthetic_pages(spark, 60)
     p1 = Pipeline(spark, str(tmp_path / "kg"), run_id="r1")
@@ -44,6 +47,7 @@ def test_resume_after_kill(spark, tmp_path):
     assert all(r["status"] == "success" and r["output_rows"] > 0 for r in lin)
 
 
+@pytest.mark.slow
 def test_export_report(spark, tmp_path):
     import json
 
@@ -78,6 +82,7 @@ def test_export_report(spark, tmp_path):
     assert len(lines) > 1
 
 
+@pytest.mark.slow
 def test_noop_rerun_recomputes_nothing(spark, tmp_path):
     pages = synthetic_pages(spark, 40)
     Pipeline(spark, str(tmp_path / "kg2"), run_id="a").run(pages)

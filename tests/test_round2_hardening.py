@@ -6,6 +6,8 @@ out-of-order events across micro-batch boundaries."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 import os
@@ -347,6 +349,7 @@ def test_embedding_near_duplicates_parity(spark):
     assert len(got) >= 0.8 * len(truth), (len(got), len(truth))
 
 
+@pytest.mark.slow
 def test_pipeline_dedup_docs_stage(spark, tmp_path):
     """Corpus-hygiene stage: exact dups collapse to the min-url keeper,
     null-text rows all survive, and the stage is committed/resumable."""

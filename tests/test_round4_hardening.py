@@ -76,6 +76,7 @@ def test_dedup_persist_contract_drains(spark):
     assert dedup.unpersist_tracked() == 0
 
 
+@pytest.mark.slow
 def test_suites_restate_members(spark):
     """Each suite row set equals the union of its members' stringified
     rows — so a suite hash pins exactly what the 15 separate gates did."""
@@ -153,6 +154,7 @@ def test_entity_findings_gate_non_vacuous(spark):
     } <= rules, rules
 
 
+@pytest.mark.slow
 def test_pipeline_graph_metrics_stage(spark, tmp_path):
     """Pipeline(graph_metrics=True) emits a committed graph_metrics stage
     (PageRank + triangles over the co-mention graph) with lineage rows,
@@ -188,6 +190,7 @@ def test_pipeline_graph_metrics_stage(spark, tmp_path):
     assert sorted(map(tuple, r3["graph_metrics"].collect())) == gm_rows
 
 
+@pytest.mark.slow
 def test_reference_sql_views(spark, tmp_path):
     """The reference's SQL surface (db_init.py:170-210) works verbatim on
     the rebuild: register_views() exposes papers/concepts/paper_concepts/
@@ -240,6 +243,7 @@ def test_reference_sql_views(spark, tmp_path):
     assert one
 
 
+@pytest.mark.slow
 def test_reference_sample_queries_run_on_views(spark, tmp_path):
     """db_init.py:218-273 stores five sample SQL queries a reference user
     runs against its Postgres schema.  Schema-adapted (papers keyed by

@@ -3,6 +3,8 @@ and multimodal plumbing tests."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import Row
@@ -390,6 +392,7 @@ def test_bmp_wav_roundtrip_property():
     wav_case()
 
 
+@pytest.mark.slow
 def test_streaming_corpus_stats_matches_batch(spark, tmp_path):
     from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
         corpus_stats,
@@ -411,6 +414,56 @@ def test_streaming_corpus_stats_matches_batch(spark, tmp_path):
     )
     want = corpus_stats(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_entities_match_batch(spark, tmp_path):
+    """Stream-maintained entities aggregate (incremental materialization):
+    drain a multi-file docs stream through detector → clean → stateful
+    entities; the max-version rows must equal build_entities on the same
+    corpus run as one batch — including EXACT distinct-url mention_count
+    (each url lands in exactly one micro-batch, so batch-local distincts
+    sum exactly — the streaming twin of the salt-by-url argument)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.entities import (
+        build_entities,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.operators.mentions import (
+        clean_mentions,
+        detect_mentions_native,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.streaming.ops import (
+        latest_entities,
+        run_available_now,
+        streaming_docs_source,
+        streaming_entities,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_stream")
+    # 6 files + maxFilesPerTrigger=4 → the drain spans >1 micro-batch, so
+    # cross-batch state accumulation is actually exercised
+    docs.repartition(6).write.mode("overwrite").parquet(path)
+
+    stream_docs = streaming_docs_source(spark, path).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("extracted_text"),
+    )
+    m_stream = clean_mentions(detect_mentions_native(stream_docs))
+    emitted = run_available_now(
+        streaming_entities(m_stream), "entities_stream", output_mode="update"
+    )
+    got = latest_entities(emitted)
+
+    batch_docs = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("extracted_text"),
+    )
+    want = build_entities(clean_mentions(detect_mentions_native(batch_docs)))
+    key = lambda r: (r["name"], r["concept_type"])  # noqa: E731
+    g = {key(r): tuple(r)[2:] for r in got.collect()}
+    w = {key(r): tuple(r)[2:] for r in want.collect()}
+    assert g == w and len(g) > 5
+    # entity_id column parity too
+    assert set(got.columns) == set(want.columns)
 
 
 def test_y4m_roundtrip_and_frame_sampling(spark):
