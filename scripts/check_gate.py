@@ -3,12 +3,18 @@ DuckDB at a given sf dir, compare row count, sorted column names, and an
 order-insensitive value hash — a stand-in for the driver's CORRECTNESS gate.
 
 Usage: python scripts/check_gate.py [sf_dir] [only_prefix]
+Env:   SPARK_GRAFT_GATE_SKIP=name1,name2  — skip specific gates (used by
+       the sf1 scale probe to exclude kg_pairwise_shared, whose
+       cap-DISABLED oracle check is quadratic BY DESIGN — the production
+       df-capped path is kg_pairwise_capped and runs fine at sf1).
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
+import time
 
 import duckdb
 
@@ -78,10 +84,17 @@ def main() -> None:
         if name not in qs:
             qs[name] = TEXT_MICRO_QUERIES[name]
             os_[name] = TEXT_MICRO_ORACLES[name]
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_GATE_SKIP", "").split(",") if s
+    }
     failures = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
             continue
+        if name in skip:
+            print(f"SKIP {name} (SPARK_GRAFT_GATE_SKIP)")
+            continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -115,7 +128,8 @@ def main() -> None:
         if status == "FAIL":
             failures += 1
         print(
-            f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} hash {sh}/{dh}"
+            f"{status} {name}: rows {len(srows)}/{len(drows)} cols_ok={ok_cols} "
+            f"hash {sh}/{dh} wall={time.time() - t0:.1f}s"
         )
         if status == "FAIL" and ok_cols and ok_rows:
             order = sorted(range(len(scols)), key=lambda i: scols[i])

@@ -42,6 +42,17 @@ LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
 EVENT_TYPES = ["view", "click", "error", "signup", "purchase"]
 
 
+#: long-tail filler vocabulary size.  The base tables draw every word from
+#: a 31-word vocabulary; at 10x the doc count that tiny shingle space makes
+#: nearly every doc pair an LSH near-dup CANDIDATE (a vocabulary artifact —
+#: the first sf1 sweep ground for 20+ min inside the minhash verify join).
+#: Real web text has a 10^4–10^5 word vocabulary, so shingle collisions are
+#: rare; mixing base-vocab words (keeps gazetteer mention density for the
+#: kg operators) with a long-tail filler restores that property.
+FILLER_VOCAB = 20_000
+BASE_WORD_FRAC = 0.35
+
+
 def gen_documents(base: str, out: str, scale: int, seed: int = 71) -> None:
     vocab = [
         r[0]
@@ -59,7 +70,14 @@ def gen_documents(base: str, out: str, scale: int, seed: int = 71) -> None:
             rows_text.append(rows_text[i - 1])
         else:
             nw = rng.randint(10, 100)
-            rows_text.append(" ".join(rng.choice(vocab) for _ in range(nw)))
+            rows_text.append(
+                " ".join(
+                    rng.choice(vocab)
+                    if rng.random() < BASE_WORD_FRAC
+                    else f"w{rng.randrange(FILLER_VOCAB)}"
+                    for _ in range(nw)
+                )
+            )
         rows_lang.append(rng.choices(LANGS, weights=LANG_W)[0])
         rows_src.append(f"src{rng.randrange(20)}")
     tbl = pa.table(
