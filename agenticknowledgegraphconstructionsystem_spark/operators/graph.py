@@ -13,7 +13,8 @@ DuckDB twin unrolls the iterations as chained CTEs).
 
 Scale shape (same as connected components, linking.py): per iteration
 one join edges⋈scores shuffled on src + one aggregation shuffled on dst;
-localCheckpoint truncates the growing plan.  Hot (high in-degree) nodes
+cut_lineage truncates the growing plan (reliable checkpoint when a
+checkpoint dir is set — cluster mode — else localCheckpoint).  Hot (high in-degree) nodes
 partial-aggregate map-side — the contribution sum is commutative int
 addition.  The dangling-mass term is a scalar aggregate per iteration
 (same cost class as the CC convergence check).
@@ -23,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import cut_lineage
 
 #: fixed-point scale: scores sum to ~SCALE; 10^12 keeps every
 #: intermediate (85 * score sums) far under 2^53, so even the
@@ -170,7 +173,7 @@ def triangle_counts(
         # interleaved min-of-3 at sf0.1: 13.7 s lazy vs 9.0 s
         # checkpointed).  At cluster scale the equivalent move is
         # committing the oriented edge table to storage first.
-        oriented = oriented.localCheckpoint()
+        oriented = oriented.transform(cut_lineage)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -233,7 +236,7 @@ def pagerank_fixed_point(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     n = nodes.count()
     if n == 0:
@@ -242,18 +245,18 @@ def pagerank_fixed_point(
     e = (
         edges.join(out_deg, src)
         .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "out_deg")
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     base = ((DAMP_DEN - DAMP_NUM) * PAGERANK_SCALE) // (DAMP_DEN * n)
     scores = nodes.withColumn(
         "pr", F.lit(PAGERANK_SCALE // n).cast("long")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     has_out = out_deg.select(F.col(src).alias("node"))
     # the dangling SET is static even though its mass changes: when it is
     # empty (always true for symmetrized graphs) the per-iteration scalar
     # aggregate is pure overhead — one membership check up front replaces
     # `iters` driver round-trips (measured 16.7 s → ~8 s at sf0.1)
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint()
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").transform(cut_lineage)
     any_dangling = bool(dangling_nodes.head(1))
     global LAST_PAGERANK_ITERS
     LAST_PAGERANK_ITERS = 0
@@ -285,7 +288,7 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         if tol is not None and (it % 2 == 1 or it == iters - 1):
             delta = (

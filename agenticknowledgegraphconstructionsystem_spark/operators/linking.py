@@ -16,7 +16,7 @@ Spark-first:
    intersection count — candidates only, never all pairs.
 3. **Connected components** by iterative min-label propagation (the
    GraphFrames-style algorithm, hand-rolled as join + min-agg per
-   round with localCheckpoint to cut lineage).  The min() aggregation is
+   round with cut_lineage to cut lineage).  The min() aggregation is
    combiner-friendly, so hot (high-degree) vertices partial-aggregate
    map-side — the built-in analog of the explicit salt used in the entity
    aggregation stage.
@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import cut_lineage
 
 
 def name_shingles(entities: DataFrame, n: int = 3) -> DataFrame:
@@ -277,7 +279,8 @@ def connected_components(
     (a 31-node chain converges in 4 checked rounds; pytest-pinned).  The
     default max_iter=20 therefore covers any component a real corpus can
     produce; :func:`canonicalize` exposes it for pathological graphs.
-    localCheckpoint every round cuts the lineage chain (SURVEY §4:
+    cut_lineage every round cuts the lineage chain (reliable checkpoint
+    under a configured checkpoint dir, localCheckpoint otherwise) (SURVEY §4:
     driver-side loop over DataFrame ops, checkpointed).
     """
     max_iter = max(int(max_iter), 1)  # the for/else warning needs >= 1 round
@@ -291,9 +294,9 @@ def connected_components(
         sym.select(F.col("src").alias("name"))
         .distinct()
         .withColumn("component", F.xxhash64("name"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
-    sym = sym.localCheckpoint()
+    sym = sym.transform(cut_lineage)
     for it in range(max_iter):
         # explicit salting + two-phase min per north_rule: a hot (high-
         # degree) vertex's incoming labels first reduce within
@@ -340,7 +343,7 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-        new_labels = new_labels.localCheckpoint()
+        new_labels = new_labels.transform(cut_lineage)
         # convergence check only on odd rounds: each check is a driver
         # action (a full job); min-label propagation never un-converges,
         # so checking every 2nd round halves the serial job count for a

@@ -23,6 +23,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import cut_lineage
+
 from ..operators.entities import (
     build_doc_concept_edges,
     build_entities,
@@ -293,7 +295,7 @@ class Pipeline:
         committed = self.store.read("extract")
         todo = resume_inputs(pages, committed, "url")
         # one materialization serves the append AND the delta detection
-        new_docs = extract_docs(todo).localCheckpoint()
+        new_docs = extract_docs(todo).transform(cut_lineage)
         n_new = new_docs.count()
         if n_new == 0:
             return new_docs
@@ -317,7 +319,7 @@ class Pipeline:
         self.store.append("extract", new_docs, n_new)
         if incremental_mentions:
             t0 = time.time()
-            delta_m = clean_mentions(detect_mentions_native(new_docs)).localCheckpoint()
+            delta_m = clean_mentions(detect_mentions_native(new_docs)).transform(cut_lineage)
             n_delta = delta_m.count()
             self.store.append("mentions", delta_m, n_delta)
             self._lineage_rows(
@@ -417,7 +419,7 @@ class Pipeline:
             triangle_counts,
         )
 
-        kept = comention_edges(mentions, key="url").localCheckpoint()
+        kept = comention_edges(mentions, key="url").transform(cut_lineage)
         sym = kept.select(
             F.col("da").alias("src"), F.col("db").alias("dst")
         ).unionByName(kept.select(F.col("db").alias("src"), F.col("da").alias("dst")))

@@ -15,7 +15,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage for iterative algorithms (PageRank /
+    connected-components rounds, triangle-edge reuse, incremental deltas).
+
+    Dispatch: when the SparkContext has a checkpoint directory configured
+    (``sc.setCheckpointDir("hdfs://…")`` — the cluster deployment mode),
+    use a RELIABLE ``checkpoint`` whose blocks live in fault-tolerant
+    storage and survive executor loss; otherwise fall back to
+    ``localCheckpoint``, whose blocks are executor-local (fine on
+    local[k], where losing "an executor" is losing the whole JVM anyway).
+    On a 1000-executor run of the O(log d) pointer-jumping loop, a single
+    lost executor under localCheckpoint kills the job — reliable
+    checkpoints make each round restartable from storage instead.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager)
+    return df.localCheckpoint(eager)
 
 
 def get_spark(
