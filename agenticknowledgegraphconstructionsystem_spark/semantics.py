@@ -118,6 +118,17 @@ PLACEHOLDER_EXPLANATION = "not explicitly stated in abstract"  # validation-agen
 #: A rebuild-side curation constant — the reference has no quality gate.
 QUALITY_OK_PCT = 50
 
+#: Gopher repetition-filter thresholds (Rae et al. 2021, table A1 — the
+#: representative subset: duplicate-line fraction 0.30, duplicate-line
+#: character fraction 0.20, top-2-gram character fraction 0.20,
+#: duplicate-5-gram character fraction 0.15), as integer floor-percents so
+#: the verdict is exactly reproducible cross-engine
+#: (operators/repetition.py + its DuckDB twin in test_repetition).
+DUP_LINE_MAX_PCT = 30
+DUP_LINE_CHAR_MAX_PCT = 20
+TOP2_CHAR_MAX_PCT = 20
+DUP5_CHAR_MAX_PCT = 15
+
 #: Gate-seed mention rows — (doc_id, name, concept_type, relevance_pct,
 #: pos, context) — each tripping exactly one entity-validation rule, so the
 #: kg_entity_findings gate compares NON-empty sets at every sf (the
