@@ -4,14 +4,16 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partition-count
 preservation, mapInPandas iterator contracts) is real and tested.  Decode
 has two honest tiers:
 
-* ``fake=False`` REALLY decodes the container formats that are parseable
-  with the stdlib alone — 24-bit BI_RGB BMP (:func:`decode_bmp`), 8-bit
+* ``fake=False`` REALLY decodes the formats that are parseable with
+  stdlib + numpy alone — 24-bit BI_RGB BMP (:func:`decode_bmp`), 8-bit
   RGB/RGBA non-interlaced PNG (:func:`decode_png` — DEFLATE is stdlib
-  zlib, so the one compressed format web crawls are full of decodes for
-  real), 16-bit PCM WAV (:func:`decode_wav`) and Y4M video
-  (:func:`decode_y4m`) — pixel/sample/frame values pytest-pinned — and
-  raises ``NotImplementedError`` for anything else (JPEG/MP3/H.264/...
-  need PIL/librosa/ffmpeg, which this container does not ship).
+  zlib), baseline JPEG (functions/jpeg.py — full sequential-DCT decode:
+  Huffman → dequant → IDCT → chroma upsample → YCbCr; the two formats
+  web crawls are actually full of decode for real), 16-bit PCM WAV
+  (:func:`decode_wav`) and Y4M video (:func:`decode_y4m`) —
+  pixel/sample/frame values pytest-pinned — and raises
+  ``NotImplementedError`` for anything else (WebP/MP3/H.264/...
+  need libvips/librosa/ffmpeg, which this container does not ship).
 * ``decode_images(..., fake=True)`` substitutes a deterministic
   content-hash "decode" so the pipeline shape is exercised end to end on
   arbitrary payloads.
@@ -314,18 +316,24 @@ def decode_image_any(
     payload: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Magic-byte dispatch over the real-decode image tier: BMP
-    (:func:`decode_bmp`) or PNG (:func:`decode_png`) → (w, h, rows).
-    Raises ValueError for anything else (JPEG/WebP/... stay honest
-    NotImplementedError territory in the mapInPandas wrappers)."""
+    (:func:`decode_bmp`), PNG (:func:`decode_png`) or baseline JPEG
+    (functions/jpeg.py) → (w, h, rows).  Raises ValueError for anything
+    else (WebP/TIFF/... stay honest NotImplementedError territory in the
+    mapInPandas wrappers); progressive JPEG raises NotImplementedError
+    from the codec itself."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
-    raise ValueError("not a BMP or PNG payload")
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("not a BMP, PNG, or JPEG payload")
 
 
 def _bmp_features(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
-    """Real decode + feature-extract for BMP/PNG payloads: features[0:3]
+    """Real decode + feature-extract for BMP/PNG/JPEG payloads: features[0:3]
     are the channel means in [0,1]; the remaining dim-3 slots are a
     normalized luminance histogram.  Pure pixel arithmetic — pinned by a
     pytest with hand-computed values."""
@@ -351,9 +359,10 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     yields result batches — constant memory regardless of partition size.
 
     ``fake=False`` really decodes uncompressed 24-bit BMP payloads
-    (stdlib ``struct``, :func:`decode_bmp`) and 8-bit RGB/RGBA
-    non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), and raises
-    ``NotImplementedError`` for other formats (JPEG/WebP need
+    (stdlib ``struct``, :func:`decode_bmp`), 8-bit RGB/RGBA
+    non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`) and
+    baseline JPEG (functions/jpeg.py), and raises
+    ``NotImplementedError`` for other formats (WebP/TIFF need
     PIL/libvips this container does not ship)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,9 +379,10 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                         rows.append(_bmp_features(bytes(p), dim))
                     except ValueError as e:
                         raise NotImplementedError(
-                            "real decode supports uncompressed 24-bit BMP "
-                            "and 8-bit RGB/RGBA PNG (stdlib); other formats "
-                            f"need PIL/libvips — payload rejected: {e}"
+                            "real decode supports uncompressed 24-bit BMP, "
+                            "8-bit RGB/RGBA PNG, and baseline JPEG (stdlib+"
+                            "numpy); other formats need PIL/libvips — "
+                            f"payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(
                 {
@@ -401,10 +411,11 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:
     """mapInPandas image resize.  ``fake=False`` really resizes
-    uncompressed 24-bit BMP and 8-bit RGB/RGBA PNG payloads —
-    :func:`decode_image_any` → nearest-neighbor resample → re-encode in
-    the SAME container (BMP→BMP, PNG→PNG), all stdlib — and
-    raises ``NotImplementedError`` for other formats.  The fake path
+    uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, and baseline JPEG
+    payloads — :func:`decode_image_any` → nearest-neighbor resample →
+    re-encode in the SAME container (BMP→BMP, PNG→PNG, JPEG→JPEG — the
+    JPEG leg is lossy twice, like any thumbnailer), all stdlib+numpy —
+    and raises ``NotImplementedError`` for other formats.  The fake path
     emits a deterministic pseudo-thumbnail (content digest tiled to
     width·height bytes) so batch shape, schema, and payload-size
     discipline are exercised on arbitrary payloads: output payloads are
@@ -413,12 +424,19 @@ def resize_images(
 
     def _resize_bmp(p: bytes) -> bytes:
         is_png = p[:8] == _PNG_SIG
+        is_jpeg = p[:3] == b"\xff\xd8\xff"
         w0, h0, rows = decode_image_any(p)
         out_rows = [
             [rows[y * h0 // height][x * w0 // width] for x in range(width)]
             for y in range(height)
         ]
-        return encode_png(out_rows) if is_png else encode_bmp(out_rows)
+        if is_png:
+            return encode_png(out_rows)
+        if is_jpeg:
+            from ..functions.jpeg import encode_jpeg
+
+            return encode_jpeg(out_rows)
+        return encode_bmp(out_rows)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -435,9 +453,10 @@ def resize_images(
                         out.append(_resize_bmp(bytes(p)))
                     except ValueError as e:
                         raise NotImplementedError(
-                            "real resize supports uncompressed 24-bit BMP "
-                            "and 8-bit RGB/RGBA PNG (stdlib); other formats "
-                            f"need PIL/libvips — payload rejected: {e}"
+                            "real resize supports uncompressed 24-bit BMP, "
+                            "8-bit RGB/RGBA PNG, and baseline JPEG (stdlib+"
+                            "numpy); other formats need PIL/libvips — "
+                            f"payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(
                 {
