@@ -129,6 +129,20 @@ DUP_LINE_CHAR_MAX_PCT = 20
 TOP2_CHAR_MAX_PCT = 20
 DUP5_CHAR_MAX_PCT = 15
 
+#: PII redaction patterns (operators/pii.py + its DuckDB twin), applied
+#: in THIS order (SSN before phone so d{3}-d{2}-d{4} isn't phone-eaten;
+#: IPv4 last).  Restricted to the Java-regex ∩ RE2 common subset (no
+#: lookarounds, no backrefs; \b and greedy quantifiers behave identically
+#: on these alternation-free patterns) so Spark and DuckDB match the same
+#: spans.  (category, pattern, replacement) — counts are per category on
+#: the text as-of that step (sequential semantics, both engines).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
 #: Gate-seed mention rows — (doc_id, name, concept_type, relevance_pct,
 #: pos, context) — each tripping exactly one entity-validation rule, so the
 #: kg_entity_findings gate compares NON-empty sets at every sf (the
