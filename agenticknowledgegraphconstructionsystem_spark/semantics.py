@@ -136,6 +136,14 @@ DUP5_CHAR_MAX_PCT = 15
 #: on these alternation-free patterns) so Spark and DuckDB match the same
 #: spans.  (category, pattern, replacement) — counts are per category on
 #: the text as-of that step (sequential semantics, both engines).
+#: URL curation (operators/urls.py + its DuckDB twin) — Java-regex ∩ RE2
+#: subset, like PII_PATTERNS.  Groups: 1 scheme, 2 authority, 3 path,
+#: 4 query (sans '?'); every group stops at '#' so fragments drop out.
+URL_PARSE_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)\??([^#]*)"
+#: query params dropped during normalization (anchored; checked per
+#: '&'-token with unanchored search semantics — rlike / regexp_matches)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
