@@ -694,3 +694,96 @@ def decode_video_frames(
     return media.where(F.col("kind") == "video").mapInPandas(
         fn, VIDEO_FRAMES_SCHEMA
     )
+
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("codecs", T.StringType(), True),
+    ]
+)
+
+
+def _probe_one(p: bytes) -> tuple:
+    """(format, width, height, duration_ms, bitrate_kbps, sample_rate,
+    n_tracks, codecs) from container headers only — no pixel/sample
+    decode.  'unknown' row (all-NULL metrics) for unrecognized bytes:
+    a catalog pass must not fail the job on the long tail of formats."""
+    from ..functions.mediameta import parse_mp4, probe_image_dims, scan_mp3
+
+    try:
+        fmt, w, h = probe_image_dims(p)
+        return (fmt, w, h, None, None, None, None, None)
+    except ValueError:
+        pass
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        # fmt-chunk walk only (decode_wav would materialize all samples)
+        pos, rate, channels, data_len = 12, None, None, 0
+        while pos + 8 <= len(p):
+            cid = p[pos : pos + 4]
+            size = struct.unpack_from("<I", p, pos + 4)[0]
+            if cid == b"fmt ":
+                _f, channels, rate = struct.unpack_from("<HHI", p, pos + 8)
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size & 1)
+        if rate:
+            dur = data_len * 1000 // (rate * (channels or 1) * 2)
+            return ("wav", None, None, dur, rate * (channels or 1) * 16 // 1000,
+                    rate, channels, "pcm_s16le")
+        return ("unknown", None, None, None, None, None, None, None)
+    if p[:9] == b"YUV4MPEG2":
+        hdr = p[: p.find(b"\n")].decode("ascii", "replace").split(" ")
+        w = next((int(t[1:]) for t in hdr if t.startswith("W")), None)
+        h = next((int(t[1:]) for t in hdr if t.startswith("H")), None)
+        return ("y4m", w, h, None, None, None, p.count(b"FRAME"), "rawvideo")
+    if p[:3] == b"ID3" or (len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0):
+        try:
+            dur, kbps, rate, _n = scan_mp3(p)
+            return ("mp3", None, None, dur, kbps, rate, 1, "mp3")
+        except ValueError:
+            return ("unknown", None, None, None, None, None, None, None)
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        try:
+            dur, tracks = parse_mp4(p)
+        except ValueError:
+            return ("unknown", None, None, None, None, None, None, None)
+        vids = [t for t in tracks if t["handler"] == "vide"]
+        w = vids[0]["width"] if vids else None
+        h = vids[0]["height"] if vids else None
+        codecs = ",".join(sorted({t["codec"] for t in tracks if t["codec"]}))
+        return ("mp4", w, h, dur, None, None, len(tracks), codecs or None)
+    return ("unknown", None, None, None, None, None, None, None)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Header-only media catalog: every payload → (format, dimensions,
+    duration, bitrate, sample rate, track count, codec list) WITHOUT
+    decoding samples (functions/mediameta.py parsers + the image-dim
+    probes).  This is the pass a 100 TB corpus runs FIRST — it reads a
+    few hundred bytes per payload, never raises on unknown formats, and
+    its output drives which payloads are worth a real decode.  Pure
+    mapInPandas projection: zero shuffle, constant memory per Arrow
+    batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((mid, "missing", None) + (None,) * 7)
+                    continue
+                b = bytes(p)
+                probed = _probe_one(b)
+                rows.append((mid, probed[0], len(b)) + probed[1:])
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return media.mapInPandas(fn, MEDIA_META_SCHEMA)
