@@ -49,6 +49,7 @@ def contamination_report(
     text_col: str = "text",
     n: int = DECONTAM_NGRAM,
     min_overlap: int = 1,
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """→ (key, n_grams, n_contaminated, contam_pct, contaminated) per
     document with at least one n-gram (docs shorter than ``n`` words
@@ -68,7 +69,7 @@ def contamination_report(
         .select(F.col(key), poly_hash_col(F.col("shingle")).alias("gram_h"))
     )
     bench = F.broadcast(
-        benchmark_gram_hashes(benchmark, text_col=text_col, n=n).withColumn(
+        benchmark_gram_hashes(benchmark, text_col=bench_text_col, n=n).withColumn(
             "hit", F.lit(1)
         )
     )
@@ -98,10 +99,12 @@ def decontaminate(
     text_col: str = "text",
     n: int = DECONTAM_NGRAM,
     min_overlap: int = 1,
+    bench_text_col: str = "text",
 ) -> DataFrame:
     """docs minus contaminated rows (left_anti on the report's flagged
     keys) — the actual pipeline action after the audit report."""
     flagged = contamination_report(
-        docs, benchmark, key=key, text_col=text_col, n=n, min_overlap=min_overlap
+        docs, benchmark, key=key, text_col=text_col, n=n,
+        min_overlap=min_overlap, bench_text_col=bench_text_col,
     ).where(F.col("contaminated"))
     return docs.join(flagged.select(key), key, "left_anti")

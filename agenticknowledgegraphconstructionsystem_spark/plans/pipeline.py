@@ -49,6 +49,7 @@ from ..sources.io import StageStore
 STAGES = (
     "extract",
     "dedup",
+    "curate",
     "mentions",
     "entities",
     "canonical_map",
@@ -73,6 +74,8 @@ class Pipeline:
         dedup_mode: str | None = None,
         dedup_threshold: float = 0.5,
         graph_metrics: bool = False,
+        curate: bool = False,
+        decontam_benchmark: DataFrame | None = None,
     ):
         """``link`` toggles the canonicalization stage.  Note the trade-off
         at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
@@ -97,6 +100,15 @@ class Pipeline:
         reference ingests whatever arrives).  ``dedup_docs=True`` is the
         older spelling of ``dedup_mode="exact"``.  Like every stage it
         commits through StageStore with per-partition lineage and resume.
+
+        ``curate=True`` adds the training-data curation stage after dedup:
+        Gopher repetition filters drop boilerplate/spam docs
+        (operators/repetition.py), an optional ``decontam_benchmark``
+        DataFrame (first column = id, ``text`` column = eval text) drops
+        13-gram-contaminated docs (operators/decontam.py), and PII is
+        redacted in place (operators/pii.py) so everything downstream —
+        mentions, relationships, triples — only ever sees masked text.
+        Default off: the reference has no curation tier.
         """
         if dedup_mode not in (None, "exact", "minhash", "winnow"):
             raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
@@ -108,6 +120,8 @@ class Pipeline:
         self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
         self.dedup_threshold = dedup_threshold
         self.graph_metrics = graph_metrics
+        self.curate = curate
+        self.decontam_benchmark = decontam_benchmark
         self._recomputed: list[str] = []
 
     # -- lineage ---------------------------------------------------------
@@ -258,6 +272,41 @@ class Pipeline:
         losers = near_dup_losers(pairs).select(F.col("id").alias("url"))
         return base.join(losers, "url", "left_anti")
 
+    def _curate_docs(self, docs: DataFrame) -> DataFrame:
+        """Training-data curation: (1) drop docs failing any Gopher
+        repetition cap, (2) drop docs 13-gram-contaminated by the eval
+        benchmark if one was given, (3) redact PII in the surviving
+        extracted_text.  NULL-text docs pass through untouched (nothing
+        to score or mask).
+
+        Scale shape: repetition is explode→groupBy branches (linear, see
+        PLANS.md), decontam probes a broadcast benchmark gram set, both
+        drops are anti-joins on url; redaction is a zero-shuffle
+        projection."""
+        from ..operators.decontam import contamination_report
+        from ..operators.pii import pii_columns
+        from ..operators.repetition import repetition_report
+
+        with_text = docs.where(F.col("extracted_text").isNotNull())
+        repetitive = (
+            repetition_report(with_text, key="url", text_col="extracted_text")
+            .where(~F.col("repetition_ok"))
+            .select("url")
+        )
+        kept = docs.join(repetitive, "url", "left_anti")
+        if self.decontam_benchmark is not None:
+            contaminated = (
+                contamination_report(
+                    with_text, self.decontam_benchmark,
+                    key="url", text_col="extracted_text",
+                )
+                .where(F.col("contaminated"))
+                .select("url")
+            )
+            kept = kept.join(contaminated, "url", "left_anti")
+        redacted = pii_columns(F.col("extracted_text"))["text_redacted"]
+        return kept.withColumn("extracted_text", redacted)
+
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
     def ingest_increment(self, pages: DataFrame) -> DataFrame:
         """database.ts:66-81 semantics lifted to sets: extract ONLY pages
@@ -299,8 +348,14 @@ class Pipeline:
         n_new = new_docs.count()
         if n_new == 0:
             return new_docs
+        # corpus-wide stages between extract and mentions (dedup OR
+        # curation) force re-detection: a near-dup family can span
+        # old+new docs, and delta mentions must never be detected from
+        # un-curated (un-redacted, un-filtered) text
         incremental_mentions = (
-            self.dedup_mode is None and self.store.is_committed("mentions")
+            self.dedup_mode is None
+            and not self.curate
+            and self.store.is_committed("mentions")
         )
         # Crash ordering: invalidate the corpus-level stages BEFORE any
         # append lands — a crash after the appends but before the
@@ -337,6 +392,8 @@ class Pipeline:
             unpersist_tracked()  # stage is committed; free cached fp/sig blocks
         elif self.dedup_mode == "exact":
             docs = self._stage("dedup", lambda: self._dedup_docs(docs))
+        if self.curate:
+            docs = self._stage("curate", lambda: self._curate_docs(docs))
         raw_mentions = self._stage(
             "mentions", lambda: clean_mentions(detect_mentions_native(docs))
         )

@@ -61,6 +61,18 @@ def main() -> None:
         "co-mention document graph (committed/resumable like every stage)",
     )
     ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="training-data curation stage after dedup: Gopher repetition "
+        "filters drop boilerplate/spam, PII is redacted in place; add "
+        "--decontam-benchmark to also drop eval-contaminated docs",
+    )
+    ap.add_argument(
+        "--decontam-benchmark",
+        help="parquet path of an eval set (id + text columns) for 13-gram "
+        "decontamination inside --curate",
+    )
+    ap.add_argument(
         "--sql-views",
         action="store_true",
         help="register the reference's SQL views (papers/concepts/"
@@ -93,6 +105,12 @@ def main() -> None:
         dedup_mode=args.dedup_mode,
         dedup_threshold=args.dedup_threshold,
         graph_metrics=args.graph_metrics,
+        curate=args.curate or bool(args.decontam_benchmark),
+        decontam_benchmark=(
+            spark.read.parquet(args.decontam_benchmark)
+            if args.decontam_benchmark
+            else None
+        ),
     )
     res = p.run(pages)
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
