@@ -8,8 +8,10 @@ from the same constants in ``semantics.py`` — see ``oracles.py``).
 The driver records CORRECTNESS rows for at most 50 queries (first 50 in
 insertion order).  The exported surface is curated to EXACTLY 50: all 19
 KG gates, then 19 training-data gates (LSH/ANN/winnow/sketch/curation —
-the engine's dedup story; the 4 per-doc textstats micro-gates ride
-td_textstats_suite), then 12 relational gates (9 substantial queries +
+the engine's dedup story; per-doc textstats + sampling micro-gates ride
+td_textstats_suite / td_sampling_suite, and the url/PII/repetition/
+decontamination micro-gates ride td_url_suite / td_curation_suite —
+gate_curation.py), then 12 relational gates (9 substantial queries +
 3 suites folding the 15 single-shape micro-gates; machinery in
 gate_suites.py).  Every implemented operator keeps a driver-visible hash
 gate; scripts/check_gate.py additionally sweeps every folded micro-gate
@@ -36,6 +38,17 @@ try:  # training-data-pipeline suite (dedup/ANN/text-analysis) — before rel
 
     _EXTRA_QUERIES.update(TEXT_QUERIES)
     _EXTRA_ORACLES.update(TEXT_ORACLES)
+except ImportError:
+    pass
+
+try:  # curation tier: sampling fold + url/pii/repetition/decontam suites
+    from agenticknowledgegraphconstructionsystem_spark.gate_curation import (
+        CURATION_ORACLES,
+        CURATION_QUERIES,
+    )
+
+    _EXTRA_QUERIES.update(CURATION_QUERIES)
+    _EXTRA_ORACLES.update(CURATION_ORACLES)
 except ImportError:
     pass
 

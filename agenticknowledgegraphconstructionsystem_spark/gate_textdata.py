@@ -1039,11 +1039,16 @@ q_textstats_suite = _suite_query(_TEXTSTATS_SUITE)
 O_TEXTSTATS_SUITE = _suite_oracle(_TEXTSTATS_SUITE)
 
 #: the folded micro-gates, still individually swept by check_gate.py
+#: (sampling gates ride gate_curation's td_sampling_suite since round 5
+#: — their window slots went to the url/curation suites)
 TEXT_MICRO_QUERIES = {
     "td_lang_id": q_lang_id,
     "td_quality": q_quality,
     "td_token_count": q_token_count,
     "td_fingerprint": q_fingerprint,
+    "td_stratified_sample": q_stratified_sample,
+    "td_kmv_distinct": q_kmv_distinct,
+    "td_hash_sample": q_hash_sample,
 }
 
 TEXT_MICRO_ORACLES = {
@@ -1051,6 +1056,9 @@ TEXT_MICRO_ORACLES = {
     "td_quality": O_QUALITY,
     "td_token_count": O_TOKEN_COUNT,
     "td_fingerprint": O_FINGERPRINT,
+    "td_stratified_sample": _o_stratified_sample(),
+    "td_kmv_distinct": _o_kmv_distinct(),
+    "td_hash_sample": _o_hash_sample(),
 }
 
 
@@ -1060,7 +1068,6 @@ TEXT_QUERIES = {
     "td_textstats_suite": q_textstats_suite,
     "td_corpus_stats": q_corpus_stats,
     "td_dedup_rate": q_dedup_rate,
-    "td_stratified_sample": q_stratified_sample,
     "td_ann_cosine_topk": q_ann_cosine_topk,
     "td_minhash_dups": q_minhash_dups,
     "td_simhash_sigs": q_simhash_sigs,
@@ -1072,8 +1079,6 @@ TEXT_QUERIES = {
     "td_winnow_dups": q_winnow_dups,
     "td_dedup_survivors": q_dedup_survivors,
     "td_tfidf_topk": q_tfidf_topk,
-    "td_kmv_distinct": q_kmv_distinct,
-    "td_hash_sample": q_hash_sample,
 }
 
 TEXT_ORACLES = {
@@ -1082,7 +1087,6 @@ TEXT_ORACLES = {
     "td_textstats_suite": O_TEXTSTATS_SUITE,
     "td_corpus_stats": O_CORPUS_STATS,
     "td_dedup_rate": O_DEDUP_RATE,
-    "td_stratified_sample": _o_stratified_sample(),
     "td_ann_cosine_topk": O_ANN_COSINE,
     # LSH suites: oracled via the portable poly/affine hash family and
     # inlined RHP plane literals — the ENTIRE pipeline (signatures, band
@@ -1098,7 +1102,5 @@ TEXT_ORACLES = {
     "td_winnow_dups": _o_winnow_dups(),
     "td_dedup_survivors": _o_dedup_survivors(),
     "td_tfidf_topk": O_TFIDF_TOPK,
-    "td_kmv_distinct": _o_kmv_distinct(),
-    "td_hash_sample": _o_hash_sample(),
 }
 

@@ -84,7 +84,7 @@ def main() -> None:
         "td_quality": TEXT_MICRO_QUERIES["td_quality"],
         "td_corpus_stats": TEXT_QUERIES["td_corpus_stats"],
         "td_dedup_rate": TEXT_QUERIES["td_dedup_rate"],
-        "td_stratified_sample": TEXT_QUERIES["td_stratified_sample"],
+        "td_stratified_sample": TEXT_MICRO_QUERIES["td_stratified_sample"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
         "rel_big_group": REL_QUERIES["rel_big_group"],

@@ -26,6 +26,10 @@ from agenticknowledgegraphconstructionsystem_spark.gate_relational import (  # n
     REL_ORACLES,
     REL_QUERIES,
 )
+from agenticknowledgegraphconstructionsystem_spark.gate_curation import (  # noqa: E402
+    CURATION_MICRO_ORACLES,
+    CURATION_MICRO_QUERIES,
+)
 from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (  # noqa: E402
     TEXT_MICRO_ORACLES,
     TEXT_MICRO_QUERIES,
@@ -84,6 +88,10 @@ def main() -> None:
         if name not in qs:
             qs[name] = TEXT_MICRO_QUERIES[name]
             os_[name] = TEXT_MICRO_ORACLES[name]
+    for name in CURATION_MICRO_QUERIES:
+        if name not in qs:
+            qs[name] = CURATION_MICRO_QUERIES[name]
+            os_[name] = CURATION_MICRO_ORACLES[name]
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_GATE_SKIP", "").split(",") if s
     }
