@@ -31,6 +31,7 @@ from .gate_textdata import (
     _o_hash_sample,
     _o_kmv_distinct,
     _o_stratified_sample,
+    _sql_affine,
     _sql_poly,
     q_hash_sample,
     q_kmv_distinct,
@@ -415,6 +416,126 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams, n_contaminated,
 FROM rep"""
 
 
+# --- mixture sampling + sequence packing micro-gates -----------------------
+
+#: gate mixture: 5 of the 20 synthetic sources, deliberately unequal
+#: weights so every source gets a different rate (permille)
+MIXTURE_TARGETS = {"src0": 300, "src1": 200, "src2": 100, "src3": 50, "src4": 350}
+
+_MIX_VALUES = ", ".join(
+    f"('{s}', CAST({w} AS BIGINT))" for s, w in sorted(MIXTURE_TARGETS.items())
+)
+
+#: shared oracle CTEs: per-source counts → scaled max total → rates
+_MIX_CTES = f"""
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY source
+),
+tgt(source, target_permille) AS (VALUES {_MIX_VALUES}),
+j AS (
+  SELECT counts.source, n_docs, target_permille
+  FROM counts JOIN tgt USING (source)
+),
+t AS (SELECT MIN(n_docs * 1000 // target_permille) AS t_scaled FROM j),
+rates AS (
+  SELECT source, n_docs, target_permille,
+         (target_permille * t_scaled // 1000) AS keep_docs,
+         ((target_permille * t_scaled // 1000) * 1000000 // n_docs) AS rate_ppm
+  FROM j, t
+)"""
+
+
+def q_mixture_rates(spark, sf_dir):
+    """sketches.mixture_rates: integer-exact per-source keep rates toward
+    the target mixture (largest total every source can supply)."""
+    from .operators.sketches import mixture_rates
+
+    return mixture_rates(_docs(spark, sf_dir), MIXTURE_TARGETS).select(
+        "source",
+        "n_docs",
+        "target_permille",
+        "keep_docs",
+        "rate_ppm",
+    )
+
+
+O_MIXTURE_RATES = (
+    f"WITH {_MIX_CTES} SELECT source, n_docs, target_permille, keep_docs, "
+    "rate_ppm FROM rates"
+)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """sketches.mixture_sample: the surviving (source, doc_id) membership
+    under the mixture rates — broadcast rate join + pure hash filter."""
+    from .operators.sketches import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir), MIXTURE_TARGETS).select(
+        "source", F.col("doc_id").cast(_BIG).alias("doc_id")
+    )
+
+
+def _o_mixture_sample() -> str:
+    h = _sql_affine(f"(doc_id % {S.POLY_P})", S.MINHASH_A[3], S.MINHASH_B[3])
+    return (
+        f"WITH {_MIX_CTES} "
+        "SELECT d.source, CAST(d.doc_id AS BIGINT) AS doc_id "
+        "FROM documents d JOIN rates r ON d.source = r.source "
+        f"WHERE d.doc_id IS NOT NULL AND ({h}) % 1000000 < r.rate_ppm"
+    )
+
+
+_PACK_CTX = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark, sf_dir):
+    """packing.pack_sequences: concat-and-chunk window assignment
+    (ctx 512, 8 shards) in the deterministic shuffled stream order."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS
+    ).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "shard",
+        "n_tokens",
+        "pack_id",
+        "pack_offset",
+    )
+
+
+def _o_pack_sequences() -> str:
+    from .operators.packing import PACK_ORDER_SALT, PACK_SHARD_SALT
+
+    h_shard = _sql_affine(
+        f"(doc_id % {S.POLY_P})", S.MINHASH_A[PACK_SHARD_SALT], S.MINHASH_B[PACK_SHARD_SALT]
+    )
+    h_ord = _sql_affine(
+        f"(doc_id % {S.POLY_P})", S.MINHASH_A[PACK_ORDER_SALT], S.MINHASH_B[PACK_ORDER_SALT]
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(({h_shard}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         ({h_ord}) AS ord,
+         CAST(len(list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+  FROM b
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, n_tokens,
+       (strt // {_PACK_CTX}) AS pack_id,
+       (strt % {_PACK_CTX}) AS pack_offset
+FROM c"""
+
+
 # ---------------------------------------------------------------------------
 # Suites (driver-window slots) + individual sweep registry
 # ---------------------------------------------------------------------------
@@ -444,6 +565,12 @@ _SAMPLING_SUITE = [
     ("hash_sample", q_hash_sample, _o_hash_sample(), ["doc_id"]),
     ("kmv_distinct", q_kmv_distinct, _o_kmv_distinct(),
      ["lang", "kmv_distinct"]),
+    ("mixture_rates", q_mixture_rates, O_MIXTURE_RATES,
+     ["source", "n_docs", "target_permille", "keep_docs", "rate_ppm"]),
+    ("mixture_sample", q_mixture_sample, _o_mixture_sample(),
+     ["source", "doc_id"]),
+    ("pack_sequences", q_pack_sequences, _o_pack_sequences(),
+     ["doc_id", "shard", "n_tokens", "pack_id", "pack_offset"]),
 ]
 
 q_url_suite = suite_query(_URL_SUITE)
@@ -477,6 +604,9 @@ CURATION_MICRO_QUERIES = {
     "td_pii_redact": q_pii_redact,
     "td_repetition": q_repetition,
     "td_decontam": q_decontam,
+    "td_mixture_rates": q_mixture_rates,
+    "td_mixture_sample": q_mixture_sample,
+    "td_pack_sequences": q_pack_sequences,
 }
 
 CURATION_MICRO_ORACLES = {
@@ -487,4 +617,7 @@ CURATION_MICRO_ORACLES = {
     "td_pii_redact": _o_pii_redact(),
     "td_repetition": _o_repetition(),
     "td_decontam": _o_decontam(),
+    "td_mixture_rates": O_MIXTURE_RATES,
+    "td_mixture_sample": _o_mixture_sample(),
+    "td_pack_sequences": _o_pack_sequences(),
 }

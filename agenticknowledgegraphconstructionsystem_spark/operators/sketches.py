@@ -110,6 +110,83 @@ def stratified_sample_topk(
     )
 
 
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source keep rates that steer the corpus toward a target
+    mixture (the Pile / Llama data-mixing move): given target weights in
+    permille, find the largest total corpus T such that every source can
+    supply its share (T = min_s floor(n_s·1000 / w_s)), then keep
+    floor(w_s·T/1000) docs of source s — as a parts-per-million Bernoulli
+    rate over n_s.
+
+    → (group_col, n_docs, target_permille, keep_docs, rate_ppm), one row
+    per target source present in ``df``.  All arithmetic is int64
+    integral division (``div`` / DuckDB ``//`` — never double division,
+    which loses exactness past 2^53 at 10^12-doc scale), so the rates
+    are bit-identical cross-engine.  Sources absent from ``targets``
+    contribute nothing (dropped by the inner join).
+
+    Scale shape: one map-side-combinable count per source (rows = number
+    of sources, tiny), a broadcast of the target table, and a 1-row min
+    aggregate — the corpus itself is scanned once and never shuffled.
+    """
+    for s, w in targets.items():
+        if not (isinstance(w, int) and 0 < w <= 1000):
+            raise ValueError(f"target weight for {s!r} must be an int in (0, 1000]")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(targets.items()),
+        f"{group_col} string, target_permille long",
+    )
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    j = counts.join(F.broadcast(tgt), group_col, "inner")
+    t = j.agg(
+        F.min(F.expr("n_docs * 1000 div target_permille")).alias("t_scaled")
+    )
+    return (
+        j.crossJoin(F.broadcast(t))
+        .withColumn("keep_docs", F.expr("target_permille * t_scaled div 1000"))
+        .withColumn("rate_ppm", F.expr("keep_docs * 1000000 div n_docs"))
+        .select(group_col, "n_docs", "target_permille", "keep_docs", "rate_ppm")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 3,
+) -> DataFrame:
+    """Deterministic mixture resampling: keep rows whose affine-permuted
+    key hash falls under their source's ``mixture_rates`` rate_ppm.  Same
+    key → same verdict across runs, engines, and cluster sizes; expected
+    composition = the target mixture at the largest total the sources can
+    supply (Bernoulli, so realized counts carry binomial noise — the
+    exact-count variant is stratified_sample_topk with per-group k).
+
+    Scale shape: the rate table (one row per source) broadcasts; the
+    corpus side is a single filter pass — no shuffle, no window.  Use a
+    ``salt`` distinct from any hash_sample split on the same keys."""
+    rates = mixture_rates(df, targets, group_col=group_col, key_col=key_col)
+    h = _key_hash(df, key_col, salt)
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_mix_h", F.pmod(h, F.lit(1_000_000)))
+        .join(F.broadcast(rates.select(group_col, "rate_ppm")), group_col)
+        .where(F.col("_mix_h") < F.col("rate_ppm"))
+        .drop("_mix_h", "rate_ppm")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_col: str,
