@@ -165,19 +165,22 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe each query's ``n_probe`` nearest lists, exact
     cosine re-rank inside the probed lists only.
 
-    Centroid selection is a deterministic pseudo-random sample: the
-    ``n_centroids`` corpus rows with the smallest affine hash of their id
-    (semantics.affine_hash — reproducible in DuckDB, so the whole operator
-    is oracle-checkable).  At 10^12 rows the real deployment would train
-    centroids with k-means — the *plan shape* is identical: a broadcast of
-    n_centroids vectors, one narrow assignment pass over the corpus, and a
+    Default centroid selection is a deterministic pseudo-random sample:
+    the ``n_centroids`` corpus rows with the smallest affine hash of
+    their id (semantics.affine_hash — reproducible in DuckDB, so the
+    whole operator is oracle-checkable).  Pass ``centroids`` (a
+    (centroid_id, centroid) table, e.g. from ``clustering.kmeans_fit``)
+    to use TRAINED centroids instead — the plan shape is identical (a
+    broadcast of the centroid table, one narrow assignment pass, and a
     probe join that touches n_probe/n_centroids of the data instead of a
-    full scan.
+    full scan), but on clustered data the lists align with the clusters
+    and probe recall rises (test_ivf_trained_centroids).
     """
     c = corpus.select(
         F.col(id_col).alias("cid_src"),
@@ -195,11 +198,20 @@ def ivf_ann_topk(
         * F.pmod(F.col("cid_src").cast("long"), F.lit(S.POLY_P))
         + F.lit(S.MINHASH_B[0])
     ) % F.lit(S.POLY_P)
-    centroids = (
-        c.orderBy(h.asc(), F.col("cid_src").asc())
-        .limit(n_centroids)
-        .select(F.col("cid_src").alias("centroid_id"), F.col("cvec").alias("centroid"))
-    )
+    if centroids is None:
+        centroids = (
+            c.orderBy(h.asc(), F.col("cid_src").asc())
+            .limit(n_centroids)
+            .select(
+                F.col("cid_src").alias("centroid_id"),
+                F.col("cvec").alias("centroid"),
+            )
+        )
+    else:
+        centroids = centroids.select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("centroid").cast("array<double>").alias("centroid"),
+        )
 
     def centroid_scores(df, id_alias, vec_alias):
         return df.crossJoin(F.broadcast(centroids)).select(

@@ -59,6 +59,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from agenticknowledgegraphconstructionsystem_spark.gate import KG_QUERIES
+    from agenticknowledgegraphconstructionsystem_spark.gate_curation import (
+        CURATION_MICRO_QUERIES,
+    )
     from agenticknowledgegraphconstructionsystem_spark.gate_relational import REL_QUERIES
     from agenticknowledgegraphconstructionsystem_spark.gate_textdata import (
         TEXT_MICRO_QUERIES,
@@ -85,6 +88,10 @@ def main() -> None:
         "td_corpus_stats": TEXT_QUERIES["td_corpus_stats"],
         "td_dedup_rate": TEXT_QUERIES["td_dedup_rate"],
         "td_stratified_sample": TEXT_MICRO_QUERIES["td_stratified_sample"],
+        # curation/assembly tier (round 5): the heaviest curation report
+        # and the packing window — the rest are projections/broadcasts
+        "td_repetition": CURATION_MICRO_QUERIES["td_repetition"],
+        "td_pack_sequences": CURATION_MICRO_QUERIES["td_pack_sequences"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
         "rel_big_group": REL_QUERIES["rel_big_group"],
