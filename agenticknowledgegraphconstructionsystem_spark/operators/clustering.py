@@ -144,6 +144,26 @@ def kmeans_fit(
     return spark.createDataFrame(prev, CENTROIDS_SCHEMA)
 
 
+def oversize_clusters(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    max_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit view for :func:`semantic_dedup`'s ``max_cluster`` cap: the
+    (centroid_id, n_members) clusters whose pairwise pass was skipped
+    (members all kept — conservative, but un-deduplicated).  Callers
+    log/persist this next to the dedup output so the skip is never
+    silent — the same discipline as dedup.dropped_band_buckets."""
+    assigned = assign_to_centroids(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_cluster)
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,

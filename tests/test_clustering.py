@@ -138,3 +138,20 @@ def test_ivf_trained_centroids(spark):
     assert r_trained >= r_default
     # with lists == true clusters, 1-probe recall is essentially perfect
     assert r_trained >= 0.95
+
+
+def test_oversize_clusters_audit(spark):
+    """The max_cluster skip is observable: with the cap below every
+    cluster size, every cluster appears in the audit view with its true
+    member count (summing to the corpus)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.clustering import (
+        oversize_clusters,
+    )
+
+    emb = _planted(spark)
+    cents = kmeans_fit(emb, k=6, iters=2)
+    audit = oversize_clusters(emb, cents, max_cluster=1).collect()
+    assert sum(r["n_members"] for r in audit) == emb.count()
+    assert all(r["n_members"] > 1 for r in audit)
+    # generous cap → nothing skipped, empty audit
+    assert oversize_clusters(emb, cents, max_cluster=10_000).count() == 0
