@@ -120,27 +120,38 @@ def kmeans_fit(
             }
         )
 
-    # init: k smallest affine-hash rows — TakeOrderedAndProject, no
-    # global sort; k rows through the driver is the broadcast anyway
-    init = (
-        corp.orderBy(_affine_order("_id").asc(), F.col("_id").asc())
-        .limit(k)
-        .collect()
-    )
-    prev = [(i, list(r["_v"])) for i, r in enumerate(init)]
-    for _ in range(iters):
-        cent_df = spark.createDataFrame(prev, CENTROIDS_SCHEMA)
-        assigned = assign_to_centroids(
-            corp, cent_df, id_col="_id", vec_col="_v"
+    # every iteration's assignment AND mean update re-reference corp
+    # (2·iters+1 scans of the source otherwise) — eager persist for the
+    # loop's lifetime, released before returning (all actions happen
+    # inside this function, so the cache is fully utilized here)
+    corp = corp.persist()
+    corp.count()
+    try:
+        # init: k smallest affine-hash rows — TakeOrderedAndProject, no
+        # global sort; k rows through the driver is the broadcast anyway
+        init = (
+            corp.orderBy(_affine_order("_id").asc(), F.col("_id").asc())
+            .limit(k)
+            .collect()
         )
-        updated = (
-            assigned.join(corp, "_id")
-            .groupBy("centroid_id")
-            .applyInPandas(_mean, CENTROIDS_SCHEMA)
-        )
-        new = {r["centroid_id"]: list(r["centroid"]) for r in updated.collect()}
-        # empty clusters keep their previous centroid
-        prev = [(cid, new.get(cid, vec)) for cid, vec in prev]
+        prev = [(i, list(r["_v"])) for i, r in enumerate(init)]
+        for _ in range(iters):
+            cent_df = spark.createDataFrame(prev, CENTROIDS_SCHEMA)
+            assigned = assign_to_centroids(
+                corp, cent_df, id_col="_id", vec_col="_v"
+            )
+            updated = (
+                assigned.join(corp, "_id")
+                .groupBy("centroid_id")
+                .applyInPandas(_mean, CENTROIDS_SCHEMA)
+            )
+            new = {
+                r["centroid_id"]: list(r["centroid"]) for r in updated.collect()
+            }
+            # empty clusters keep their previous centroid
+            prev = [(cid, new.get(cid, vec)) for cid, vec in prev]
+    finally:
+        corp.unpersist()
     return spark.createDataFrame(prev, CENTROIDS_SCHEMA)
 
 
