@@ -195,9 +195,17 @@ def semantic_dedup(
     their members — dedup is conservative, never lossy).  Keeper
     selection reuses dedup.near_dup_losers, so an A~B~C chain collapses
     to one keeper even when A~C alone is under threshold."""
-    corp = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    from .dedup import _maybe_persist
+
+    # the slim (id, vector) projection feeds the assignment pass AND both
+    # sides of the within-cluster pair join — tracked eager persist (the
+    # caller releases via dedup.unpersist_tracked, the module contract)
+    corp = _maybe_persist(
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        True,
     )
     centroids = kmeans_fit(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = assign_to_centroids(corp, centroids, id_col="_id", vec_col="_v").select(
