@@ -59,6 +59,7 @@ STAGES = (
     "findings",
     "validated_edges",
     "graph_metrics",
+    "assembly",
 )
 
 
@@ -76,6 +77,9 @@ class Pipeline:
         graph_metrics: bool = False,
         curate: bool = False,
         decontam_benchmark: DataFrame | None = None,
+        assemble_ctx: int | None = None,
+        mixture_targets: dict[str, int] | None = None,
+        assemble_shards: int = 64,
     ):
         """``link`` toggles the canonicalization stage.  Note the trade-off
         at threshold 0.5: alias pairs ('sparks'→'spark', j=0.57) merge, but
@@ -109,6 +113,15 @@ class Pipeline:
         redacted in place (operators/pii.py) so everything downstream —
         mentions, relationships, triples — only ever sees masked text.
         Default off: the reference has no curation tier.
+
+        ``assemble_ctx=<ctx_len>`` adds the corpus→training-stream
+        assembly stage over the final (deduped, curated) docs: an
+        optional domain-mixture resample (``mixture_targets`` — permille
+        weights keyed by registered domain, sketches.mixture_sample)
+        followed by concat-and-chunk sequence packing
+        (operators/packing.py) into ``assemble_shards`` deterministic
+        shards — one committed table (url, shard, n_tokens, pack_id,
+        pack_offset) with lineage + resume like every stage.
         """
         if dedup_mode not in (None, "exact", "minhash", "winnow"):
             raise ValueError(f"unknown dedup_mode: {dedup_mode!r}")
@@ -122,6 +135,9 @@ class Pipeline:
         self.graph_metrics = graph_metrics
         self.curate = curate
         self.decontam_benchmark = decontam_benchmark
+        self.assemble_ctx = assemble_ctx
+        self.mixture_targets = mixture_targets
+        self.assemble_shards = assemble_shards
         self._recomputed: list[str] = []
 
     # -- lineage ---------------------------------------------------------
@@ -441,6 +457,9 @@ class Pipeline:
         gm = None
         if self.graph_metrics:
             gm = self._stage("graph_metrics", lambda: self._graph_metrics(mentions))
+        asm = None
+        if self.assemble_ctx is not None:
+            asm = self._stage("assembly", lambda: self._assemble(docs))
         self._results = {
             "docs": docs,
             "mentions": mentions,
@@ -460,7 +479,41 @@ class Pipeline:
         }
         if gm is not None:
             out["graph_metrics"] = gm
+        if asm is not None:
+            out["assembly"] = asm
         return out
+
+    def _assemble(self, docs: DataFrame) -> DataFrame:
+        """Corpus → training stream over the FINAL docs (post-dedup,
+        post-curation): optional mixture resample toward target permille
+        weights keyed by registered domain, then deterministic
+        concat-and-chunk packing.  → (url, shard, n_tokens, pack_id,
+        pack_offset).
+
+        Scale shape: mixture is a broadcast rate table + one filter pass
+        (zero corpus shuffle, sketches.mixture_rates docstring); packing
+        is ONE exchange on the shard hash + a per-shard running-sum
+        window (operators/packing.py)."""
+        from ..operators.packing import pack_sequences
+
+        base = docs
+        if self.mixture_targets is not None:
+            from ..operators.sketches import mixture_sample
+            from ..operators.urls import registered_domain
+
+            base = mixture_sample(
+                docs.withColumn("_dom", registered_domain(F.col("url"))),
+                self.mixture_targets,
+                group_col="_dom",
+                key_col="url",
+            ).drop("_dom")
+        return pack_sequences(
+            base,
+            ctx_len=self.assemble_ctx,
+            key_col="url",
+            text_col="extracted_text",
+            n_shards=self.assemble_shards,
+        )
 
     def _graph_metrics(self, mentions: DataFrame) -> DataFrame:
         """Optional reporting stage: PageRank + triangle counts over the
