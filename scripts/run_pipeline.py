@@ -73,6 +73,24 @@ def main() -> None:
         "decontamination inside --curate",
     )
     ap.add_argument(
+        "--assemble-ctx",
+        type=int,
+        help="training-stream assembly stage: pack the final docs into "
+        "fixed context windows of this many tokens (committed/resumable)",
+    )
+    ap.add_argument(
+        "--assemble-shards",
+        type=int,
+        default=64,
+        help="deterministic shard count for --assemble-ctx packing",
+    )
+    ap.add_argument(
+        "--mixture-targets",
+        help='JSON dict of registered-domain -> permille weight (e.g. '
+        '\'{"example.org": 700, "other.net": 300}\') applied as a '
+        "mixture resample before --assemble-ctx packing",
+    )
+    ap.add_argument(
         "--sql-views",
         action="store_true",
         help="register the reference's SQL views (papers/concepts/"
@@ -111,11 +129,18 @@ def main() -> None:
             if args.decontam_benchmark
             else None
         ),
+        assemble_ctx=args.assemble_ctx,
+        mixture_targets=(
+            json.loads(args.mixture_targets) if args.mixture_targets else None
+        ),
+        assemble_shards=args.assemble_shards,
     )
     res = p.run(pages)
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
     if "graph_metrics" in res:
         counts["graph_nodes"] = res["graph_metrics"].count()
+    if "assembly" in res:
+        counts["assembly_rows"] = res["assembly"].count()
     if args.sql_views:
         from agenticknowledgegraphconstructionsystem_spark.sources.views import (
             register_views,
