@@ -536,6 +536,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, shard, n_tokens,
 FROM c"""
 
 
+# --- vocabulary micro-gate -------------------------------------------------
+
+_VOCAB_V = 200
+
+
+def q_vocabulary(spark, sf_dir):
+    """textstats.top_vocabulary: top-200 corpus tokens with occurrence
+    count, document frequency, and deterministic rank."""
+    from .operators.textstats import top_vocabulary
+
+    return top_vocabulary(_docs(spark, sf_dir), v=_VOCAB_V).select(
+        "term", "n_occurrences", "n_docs", "rank"
+    )
+
+
+O_VOCABULARY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+counts AS (
+  SELECT term,
+         CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY term
+),
+ranked AS (
+  SELECT term, n_occurrences, n_docs,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term ASC) AS rank
+  FROM counts
+)
+SELECT term, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_VOCAB_V}"""
+
+
 # ---------------------------------------------------------------------------
 # Suites (driver-window slots) + individual sweep registry
 # ---------------------------------------------------------------------------
@@ -557,6 +597,8 @@ _CURATE_SUITE = [
       "top2_char_pct", "dup5_char_pct", "repetition_ok"]),
     ("decontam", q_decontam, _o_decontam(),
      ["doc_id", "n_grams", "n_contaminated", "contam_pct", "contaminated"]),
+    ("vocabulary", q_vocabulary, O_VOCABULARY,
+     ["term", "n_occurrences", "n_docs", "rank"]),
 ]
 
 _SAMPLING_SUITE = [
@@ -607,6 +649,7 @@ CURATION_MICRO_QUERIES = {
     "td_mixture_rates": q_mixture_rates,
     "td_mixture_sample": q_mixture_sample,
     "td_pack_sequences": q_pack_sequences,
+    "td_vocabulary": q_vocabulary,
 }
 
 CURATION_MICRO_ORACLES = {
@@ -620,4 +663,5 @@ CURATION_MICRO_ORACLES = {
     "td_mixture_rates": O_MIXTURE_RATES,
     "td_mixture_sample": _o_mixture_sample(),
     "td_pack_sequences": _o_pack_sequences(),
+    "td_vocabulary": O_VOCABULARY,
 }

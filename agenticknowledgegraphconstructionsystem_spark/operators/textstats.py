@@ -281,3 +281,45 @@ def corpus_stats(
             .alias("n_quality_ok"),
         )
     )
+
+
+def top_vocabulary(
+    docs: "DataFrame",
+    v: int = 1000,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Tokenizer-training prep: the corpus's top-``v`` whitespace tokens
+    → (term, n_occurrences, n_docs, rank), rank 1..v ordered by
+    (occurrences DESC, term ASC) — fully deterministic.
+
+    Scale shape: explode → one map-side-combinable groupBy on
+    (key, term) (occurrence AND document frequency from the same pass) →
+    term re-aggregation → distributed top-v (``orderBy().limit(v)``
+    compiles to TakeOrderedAndProject — each task keeps v candidates, no
+    global sort).  Only the v survivors pass through the single-partition
+    rank window, so its state is bounded by v regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if v < 1:
+        raise ValueError("v must be >= 1")
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(key),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    counts = per_doc.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(v)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return top.select(
+        "term",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -80,3 +80,32 @@ def test_corpus_stats_ties_to_ungrouped_totals(spark):
     assert 0 <= tot["q"] <= tot["d"]
     # one row per (source, lang) present in the corpus
     assert cs.count() == docs.select("source", "lang").distinct().count()
+
+
+def test_top_vocabulary_cut_and_ties(spark):
+    """The v-cut keeps exactly v terms ordered (count DESC, term ASC),
+    document frequency counts docs not occurrences, and ties break
+    lexicographically — on a planted corpus where the gate's synthetic
+    vocabulary (31 terms < v) can't exercise the truncation."""
+    import pytest
+    from pyspark.sql import Row
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        top_vocabulary,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa aa aa bb bb cc dd"),
+            Row(doc_id=2, text="aa bb cc cc ee"),
+            Row(doc_id=3, text=None),
+        ]
+    )
+    got = [tuple(r) for r in top_vocabulary(docs, v=3).collect()]
+    # aa: 4 occ / 2 docs; bb: 3/2; cc: 3/2 (bb before cc lexicographically)
+    assert got == [("aa", 4, 2, 1), ("bb", 3, 2, 2), ("cc", 3, 2, 3)]
+    full = {r["term"]: r for r in top_vocabulary(docs, v=100).collect()}
+    assert set(full) == {"aa", "bb", "cc", "dd", "ee"}
+    assert sum(r["n_occurrences"] for r in full.values()) == 12
+    with pytest.raises(ValueError):
+        top_vocabulary(docs, v=0)
