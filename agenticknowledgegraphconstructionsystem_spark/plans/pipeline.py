@@ -229,12 +229,18 @@ class Pipeline:
         return report
 
     # -- stage runner ----------------------------------------------------
-    def _stage(self, name: str, build, input_rows: int = -1) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        build,
+        input_rows: int = -1,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         if self.store.is_committed(name):
             return self.store.read(name)
         t0 = time.time()
         df = build()
-        out = self.store.commit(name, df, self.run_id)
+        out = self.store.commit(name, df, self.run_id, partition_by=partition_by)
         self._recomputed.append(name)
         self._lineage_rows(name, out, input_rows, int((time.time() - t0) * 1000))
         return out
@@ -459,7 +465,14 @@ class Pipeline:
             gm = self._stage("graph_metrics", lambda: self._graph_metrics(mentions))
         asm = None
         if self.assemble_ctx is not None:
-            asm = self._stage("assembly", lambda: self._assemble(docs))
+            # Hive-partitioned by shard: a consumer materializing one
+            # output stream reads exactly one directory (PartitionFilters
+            # pruning — pytest-pinned)
+            asm = self._stage(
+                "assembly",
+                lambda: self._assemble(docs),
+                partition_by=["shard"],
+            )
         self._results = {
             "docs": docs,
             "mentions": mentions,

@@ -113,7 +113,16 @@ class StageStore:
     def _summary(self, m: dict) -> dict:
         return {
             k: m[k]
-            for k in ("snapshot_id", "kind", "rows", "paths", "committed_at", "run_id")
+            for k in (
+                "snapshot_id",
+                "kind",
+                "rows",
+                "paths",
+                "committed_at",
+                "run_id",
+                "partition_by",
+                "schema",
+            )
             if k in m
         }
 
@@ -152,14 +161,36 @@ class StageStore:
         return [self._summary(m)] + list(m.get("history", []))
 
     # -- mutations ---------------------------------------------------------
-    def commit(self, stage: str, df: DataFrame, run_id: str, meta: dict | None = None) -> DataFrame:
+    def commit(
+        self,
+        stage: str,
+        df: DataFrame,
+        run_id: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         """Write stage output as a fresh full snapshot, then atomically mark
-        committed via the manifest."""
+        committed via the manifest.
+
+        ``partition_by`` writes a Hive-partitioned layout (the parquet
+        analog of an Iceberg partition spec): consumers filtering on a
+        partition column read only its directories — Catalyst shows the
+        pruning as ``PartitionFilters`` on the scan.  The declared column
+        order and types survive the round-trip (partition-directory
+        values are string-encoded on disk and would otherwise re-infer
+        as int and migrate to the end of the schema)."""
         t0 = time.time()
         snap_id = self._next_id(stage)
         rel = f"snap-{snap_id}"
-        df.write.mode("overwrite").parquet(os.path.join(self._path(stage), rel))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self._path(stage), rel))
         out = self.spark.read.parquet(os.path.join(self._path(stage), rel))
+        if partition_by:
+            out = out.select(
+                *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]
+            )
         n = out.count()
         prev = self.manifest(stage) if self.is_committed(stage) else None
         manifest = {
@@ -171,6 +202,11 @@ class StageStore:
             "snapshot_id": snap_id,
             "kind": "overwrite",
             "paths": [rel],
+            **(
+                {"partition_by": partition_by, "schema": df.schema.jsonValue()}
+                if partition_by
+                else {}
+            ),
             **(meta or {}),
         }
         self._write_manifest(stage, manifest, prev)
@@ -223,10 +259,20 @@ class StageStore:
 
     # -- reads -------------------------------------------------------------
     def read(self, stage: str, as_of: int | None = None) -> DataFrame:
-        """Read the current snapshot, or any retained one via ``as_of``."""
+        """Read the current snapshot, or any retained one via ``as_of``.
+        Partitioned snapshots are restored to their declared column order
+        and types (the manifest carries the schema — see commit)."""
         snap = self._resolve(stage, as_of)
         paths = [os.path.join(self._path(stage), rel) for rel in snap["paths"]]
-        return self.spark.read.parquet(*paths)
+        out = self.spark.read.parquet(*paths)
+        if snap.get("schema"):
+            from pyspark.sql import types as T
+
+            sch = T.StructType.fromJson(snap["schema"])
+            out = out.select(
+                *[F.col(f.name).cast(f.dataType) for f in sch.fields]
+            )
+        return out
 
     def uncommit(self, stage: str) -> None:
         """Test hook: simulate a crash after stage k (delete the commit)."""

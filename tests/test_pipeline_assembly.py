@@ -90,3 +90,37 @@ def test_assembly_mixture_keeps_only_targeted_domains(spark):
             shutil.rmtree(out2, ignore_errors=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_assembly_partitioned_by_shard_and_prunes(spark):
+    """The assembly snapshot is Hive-partitioned by shard (one directory
+    per output stream), the read path restores the declared column order
+    and types, and a shard filter prunes at the scan
+    (PartitionFilters)."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="kg_asm_part_")
+    try:
+        p = Pipeline(spark, out, assemble_ctx=CTX, assemble_shards=2)
+        res = p.run(_pages(spark))
+        stage_dir = os.path.join(out, "assembly")
+        snap = [d for d in os.listdir(stage_dir) if d.startswith("snap-")][0]
+        parts = sorted(
+            d for d in os.listdir(os.path.join(stage_dir, snap))
+            if d.startswith("shard=")
+        )
+        assert parts and all(d.split("=")[1].isdigit() for d in parts)
+        # schema contract survives the partition round-trip
+        asm = p.store.read("assembly")
+        assert asm.columns == ["url", "shard", "n_tokens", "pack_id", "pack_offset"]
+        assert dict(asm.dtypes)["shard"] == "bigint"
+        # a shard filter reaches the scan as a partition filter
+        plan = (
+            asm.where(F.col("shard") == 0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [" in plan
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "shard" in pf
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
