@@ -86,3 +86,95 @@ def pack_sequences(
         F.expr(f"_start div {ctx_len}").alias("pack_id"),
         F.pmod(F.col("_start"), F.lit(ctx_len)).cast("long").alias("pack_offset"),
     )
+
+
+def pack_windows(
+    docs: DataFrame,
+    ctx_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Materialize the actual training windows: → (shard, pack_id,
+    n_tokens, window_text), one row per context window, ``window_text``
+    the space-joined tokens of the concat stream slice [pack_id·ctx,
+    (pack_id+1)·ctx).  Documents straddling a boundary contribute their
+    token slices to every window they span — byte-for-byte the stream
+    :func:`pack_sequences` indexes (pytest: windows re-concatenate to the
+    per-shard stream; every window but each shard's last holds exactly
+    ``ctx_len`` tokens).
+
+    Tokenization matches token_counts.ws_tokens (lowercase, whitespace
+    split, empties dropped) so n_tokens agrees with pack_sequences.
+
+    Scale shape: the span explode emits one row per (doc, window) —
+    ⌈n_tokens/ctx⌉ ≈ 1-2 rows per doc — and the only wide shuffle is the
+    final groupBy on (shard, pack_id), which moves each token exactly
+    once (inherent: window assembly IS a re-bucketing of the stream).
+    Slice order inside a window is restored by sorting the collected
+    (order_hash, key) struct list — deterministic, never
+    partition-order-dependent."""
+    packed = pack_sequences(
+        docs, ctx_len=ctx_len, key_col=key_col,
+        text_col=text_col, n_shards=n_shards,
+    )
+    order_h = _key_hash(docs, key_col, PACK_ORDER_SALT)
+    toks = docs.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col),
+        order_h.alias("_ord"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_toks"),
+    )
+    j = packed.join(toks, key_col).select(
+        key_col,
+        "shard",
+        "_ord",
+        "_toks",
+        "n_tokens",
+        (F.col("pack_id") * ctx_len + F.col("pack_offset")).alias("_start"),
+    )
+    # one row per window the doc touches; empty docs touch none
+    spans = j.where(F.col("n_tokens") > 0).select(
+        "shard",
+        "_ord",
+        F.col(key_col),
+        "_toks",
+        "_start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {ctx_len}"),
+                F.expr(f"(_start + n_tokens - 1) div {ctx_len}"),
+            )
+        ).alias("pack_id"),
+    )
+    # the doc's token slice landing in this window (1-based F.slice)
+    lo = F.greatest(F.lit(0), F.col("pack_id") * ctx_len - F.col("_start"))
+    hi = F.least(
+        F.col("n_tokens"), (F.col("pack_id") + 1) * ctx_len - F.col("_start")
+    )
+    pieces = spans.select(
+        "shard",
+        "pack_id",
+        F.struct(
+            F.col("_ord"), F.col(key_col).alias("_k"),
+            F.slice(F.col("_toks"), lo + 1, hi - lo).alias("_piece"),
+        ).alias("_p"),
+    )
+    return (
+        pieces.groupBy("shard", "pack_id")
+        .agg(F.array_sort(F.collect_list("_p")).alias("_ps"))
+        .select(
+            "shard",
+            "pack_id",
+            F.flatten(F.transform(F.col("_ps"), lambda p: p["_piece"])).alias("_w"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.size("_w").cast("long").alias("n_tokens"),
+            F.array_join("_w", " ").alias("window_text"),
+        )
+    )

@@ -145,3 +145,53 @@ def test_pack_sequences_long_doc_straddles(spark):
     starts = [r["pack_id"] * 100 + r["pack_offset"] for r in out]
     assert starts == [0, 70, 140]
     assert [r["pack_id"] for r in out] == [0, 0, 1]
+
+
+def test_pack_windows_materializes_exact_stream(spark):
+    """Windows re-concatenate to the per-shard stream in order, every
+    window but each shard's last holds exactly ctx tokens, and totals
+    agree with pack_sequences."""
+    from agenticknowledgegraphconstructionsystem_spark import semantics as S
+    from agenticknowledgegraphconstructionsystem_spark.operators.packing import (
+        PACK_ORDER_SALT,
+        pack_windows,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ctx = 100
+    wins = pack_windows(docs, ctx_len=ctx, n_shards=4).collect()
+    by_shard = {}
+    for r in wins:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # expected stream per shard, rebuilt in python
+    rows = docs.select("doc_id", "text").collect()
+
+    def order_h(doc_id):
+        return (
+            S.MINHASH_A[PACK_ORDER_SALT] * (doc_id % S.POLY_P)
+            + S.MINHASH_B[PACK_ORDER_SALT]
+        ) % S.POLY_P
+
+    def shard_h(doc_id):
+        from agenticknowledgegraphconstructionsystem_spark.operators.packing import (
+            PACK_SHARD_SALT,
+        )
+
+        return (
+            (S.MINHASH_A[PACK_SHARD_SALT] * (doc_id % S.POLY_P)
+             + S.MINHASH_B[PACK_SHARD_SALT]) % S.POLY_P
+        ) % 4
+
+    streams = {}
+    for r in sorted(rows, key=lambda r: (order_h(r["doc_id"]), r["doc_id"])):
+        toks = [t for t in (r["text"] or "").lower().split() if t]
+        streams.setdefault(shard_h(r["doc_id"]), []).extend(toks)
+    for shard, ws in by_shard.items():
+        ws.sort(key=lambda r: r["pack_id"])
+        # contiguous pack ids from 0
+        assert [w["pack_id"] for w in ws] == list(range(len(ws)))
+        # all full except the last
+        assert all(w["n_tokens"] == ctx for w in ws[:-1])
+        assert 0 < ws[-1]["n_tokens"] <= ctx
+        rebuilt = " ".join(w["window_text"] for w in ws).split()
+        assert rebuilt == streams[shard]
