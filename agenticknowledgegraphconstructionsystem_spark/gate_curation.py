@@ -506,6 +506,72 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_windows(spark, sf_dir):
+    """packing.pack_windows: the materialized ctx-token training windows
+    — the hash pins the exact window TEXT, so stream order, straddling
+    slices and window boundaries are all value-checked."""
+    from .operators.packing import pack_windows
+
+    return pack_windows(
+        _docs(spark, sf_dir), ctx_len=_PACK_CTX, n_shards=_PACK_SHARDS
+    ).select(
+        "shard",
+        "pack_id",
+        "n_tokens",
+        "window_text",
+    )
+
+
+def _o_pack_windows() -> str:
+    from .operators.packing import PACK_ORDER_SALT, PACK_SHARD_SALT
+
+    h_shard = _sql_affine(
+        f"(doc_id % {S.POLY_P})", S.MINHASH_A[PACK_SHARD_SALT], S.MINHASH_B[PACK_SHARD_SALT]
+    )
+    h_ord = _sql_affine(
+        f"(doc_id % {S.POLY_P})", S.MINHASH_A[PACK_ORDER_SALT], S.MINHASH_B[PACK_ORDER_SALT]
+    )
+    ctx = _PACK_CTX
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(({h_shard}) % {_PACK_SHARDS} AS BIGINT) AS shard,
+         ({h_ord}) AS ord,
+         list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id, shard, ord, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(len(toks) AS BIGINT))
+                OVER (PARTITION BY shard ORDER BY ord, doc_id
+                      ROWS UNBOUNDED PRECEDING) - len(toks) AS BIGINT) AS strt
+  FROM b
+),
+spans AS (
+  SELECT shard, ord, doc_id, toks, n_tokens, strt, s.pack_id
+  FROM c, unnest(range(strt // {ctx}, (strt + n_tokens - 1) // {ctx} + 1))
+         AS s(pack_id)
+  WHERE n_tokens > 0
+),
+pieces AS (
+  SELECT shard, pack_id, ord, doc_id,
+         toks[CAST(greatest(0, pack_id * {ctx} - strt) + 1 AS BIGINT)
+              : CAST(least(n_tokens, (pack_id + 1) * {ctx} - strt) AS BIGINT)]
+           AS piece
+  FROM spans
+),
+agg AS (
+  SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+         flatten(list(piece ORDER BY ord, doc_id)) AS w
+  FROM pieces GROUP BY 1, 2
+)
+SELECT shard, pack_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       array_to_string(w, ' ') AS window_text
+FROM agg"""
+
+
 def _o_pack_sequences() -> str:
     from .operators.packing import PACK_ORDER_SALT, PACK_SHARD_SALT
 
@@ -613,6 +679,8 @@ _SAMPLING_SUITE = [
      ["source", "doc_id"]),
     ("pack_sequences", q_pack_sequences, _o_pack_sequences(),
      ["doc_id", "shard", "n_tokens", "pack_id", "pack_offset"]),
+    ("pack_windows", q_pack_windows, _o_pack_windows(),
+     ["shard", "pack_id", "n_tokens", "window_text"]),
 ]
 
 q_url_suite = suite_query(_URL_SUITE)
@@ -649,6 +717,7 @@ CURATION_MICRO_QUERIES = {
     "td_mixture_rates": q_mixture_rates,
     "td_mixture_sample": q_mixture_sample,
     "td_pack_sequences": q_pack_sequences,
+    "td_pack_windows": q_pack_windows,
     "td_vocabulary": q_vocabulary,
 }
 
@@ -663,5 +732,6 @@ CURATION_MICRO_ORACLES = {
     "td_mixture_rates": O_MIXTURE_RATES,
     "td_mixture_sample": _o_mixture_sample(),
     "td_pack_sequences": _o_pack_sequences(),
+    "td_pack_windows": _o_pack_windows(),
     "td_vocabulary": O_VOCABULARY,
 }
