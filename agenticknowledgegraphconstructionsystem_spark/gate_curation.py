@@ -365,6 +365,116 @@ FROM m""".format(
     )
 
 
+# --- cross-document boilerplate-line micro-gates ---------------------------
+
+#: planted boilerplate over the documents table: a header in EVERY doc,
+#: one of three footers per doc (doc_id % 3) — the real content line(s)
+#: stay below BOILERPLATE_MIN_DOCS unless genuinely duplicated, in which
+#: case both engines strip them identically.
+_BOILER_HEADER = "top nav: home | about | contact"
+_BOILER_FOOTERS = (
+    "  cookie policy: accept all  ",
+    "all rights reserved - example",
+    "subscribe to our newsletter",
+)
+
+
+def _boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    footer = F.element_at(
+        F.array(*[F.lit(x) for x in _BOILER_FOOTERS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(F.lit(_BOILER_HEADER + "\n"), F.col("text"), F.lit("\n"), footer),
+        ).alias("text"),
+    )
+
+
+_DUCK_BOILER = f"""
+d AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE '{_BOILER_HEADER}' || chr(10) || text || chr(10) ||
+                   CASE doc_id % 3
+                        WHEN 0 THEN '{_BOILER_FOOTERS[0]}'
+                        WHEN 1 THEN '{_BOILER_FOOTERS[1]}'
+                        ELSE '{_BOILER_FOOTERS[2]}' END
+         END AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d WHERE text IS NOT NULL),
+l AS (
+  SELECT doc_id, i AS pos, sp[i] AS raw, trim(sp[i]) AS line
+  FROM sp, unnest(range(1, len(sp) + 1)) AS t(i)
+),
+boil AS (
+  SELECT line,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM l WHERE line <> '' GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {S.BOILERPLATE_MIN_DOCS}
+)"""
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """lines.boilerplate_lines: the corpus-wide boilerplate census over
+    documents with planted header/footers."""
+    from .operators.lines import boilerplate_lines
+
+    return boilerplate_lines(_boiler_docs(spark, sf_dir)).select(
+        "line", "n_docs", "n_occurrences"
+    )
+
+
+O_BOILERPLATE_LINES = (
+    f"WITH {_DUCK_BOILER} SELECT line, n_docs, n_occurrences FROM boil"
+)
+
+
+def q_line_dedup(spark, sf_dir):
+    """lines.strip_boilerplate_lines: every document with its boilerplate
+    lines removed — the hash pins the exact reconstructed text, so line
+    order, untrimmed originals and the NULL/empty edge rows are all
+    value-checked."""
+    from .operators.lines import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(_boiler_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "text_clean",
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+
+
+O_LINE_DEDUP = f"""
+WITH {_DUCK_BOILER},
+kept AS (
+  SELECT doc_id, pos, raw FROM l
+  WHERE line NOT IN (SELECT line FROM boil)
+),
+reb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+         string_agg(raw, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(reb.text_clean, '') END AS text_clean,
+       CAST(CASE WHEN d.text IS NULL THEN 0
+                 ELSE coalesce(reb.n_lines_kept, 0) END AS BIGINT) AS n_lines_kept,
+       CAST(coalesce(tot.n_lines, 0)
+            - CASE WHEN d.text IS NULL THEN 0
+                   ELSE coalesce(reb.n_lines_kept, 0) END AS BIGINT) AS n_lines_removed
+FROM d
+LEFT JOIN reb ON d.doc_id = reb.doc_id
+LEFT JOIN tot ON d.doc_id = tot.doc_id"""
+
+
 # --- decontamination micro-gate --------------------------------------------
 
 _DECONTAM_N = 13
@@ -665,6 +775,10 @@ _CURATE_SUITE = [
      ["doc_id", "n_grams", "n_contaminated", "contam_pct", "contaminated"]),
     ("vocabulary", q_vocabulary, O_VOCABULARY,
      ["term", "n_occurrences", "n_docs", "rank"]),
+    ("boilerplate_lines", q_boilerplate_lines, O_BOILERPLATE_LINES,
+     ["line", "n_docs", "n_occurrences"]),
+    ("line_dedup", q_line_dedup, O_LINE_DEDUP,
+     ["doc_id", "text_clean", "n_lines_kept", "n_lines_removed"]),
 ]
 
 _SAMPLING_SUITE = [
@@ -719,6 +833,8 @@ CURATION_MICRO_QUERIES = {
     "td_pack_sequences": q_pack_sequences,
     "td_pack_windows": q_pack_windows,
     "td_vocabulary": q_vocabulary,
+    "td_boilerplate_lines": q_boilerplate_lines,
+    "td_line_dedup": q_line_dedup,
 }
 
 CURATION_MICRO_ORACLES = {
@@ -734,4 +850,6 @@ CURATION_MICRO_ORACLES = {
     "td_pack_sequences": _o_pack_sequences(),
     "td_pack_windows": _o_pack_windows(),
     "td_vocabulary": O_VOCABULARY,
+    "td_boilerplate_lines": O_BOILERPLATE_LINES,
+    "td_line_dedup": O_LINE_DEDUP,
 }

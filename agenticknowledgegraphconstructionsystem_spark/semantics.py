@@ -129,6 +129,15 @@ DUP_LINE_CHAR_MAX_PCT = 20
 TOP2_CHAR_MAX_PCT = 20
 DUP5_CHAR_MAX_PCT = 15
 
+#: cross-document boilerplate-line cut (operators/lines.py + its DuckDB
+#: twin): a trimmed non-empty line recurring in at least this many
+#: DISTINCT documents (cookie banners, nav menus, subscribe footers) is
+#: stripped corpus-wide — the line-granularity dedup tier between
+#: within-doc repetition (repetition.py) and whole/near-doc dedup
+#: (dedup.py); cf. RefinedWeb's line-wise filters / Dolma's
+#: paragraph-level dedup.
+BOILERPLATE_MIN_DOCS = 5
+
 #: PII redaction patterns (operators/pii.py + its DuckDB twin), applied
 #: in THIS order (SSN before phone so d{3}-d{2}-d{4} isn't phone-eaten;
 #: IPv4 last).  Restricted to the Java-regex ∩ RE2 common subset (no
