@@ -99,33 +99,15 @@ def repetition_report(
         .alias("dup_line_chars"),
     )
 
-    # the 2-gram and 5-gram multisets come from ONE fused pass: a single
-    # text scan emits both gram families tagged by n, and a single shuffle
-    # counts them on (key, n, gram) — two word_ngram_occurrences branches
-    # would scan + shuffle twice (Spark does no cross-branch CSE; measured
-    # ~25% off the whole report at sf0.1, same gate hash)
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    # two independent gram branches, NOT a fused n-tagged pass: fusing
+    # both families into one explode of (n, gram) structs over a
+    # concatenated array was A/B'd attributably ~1.5× SLOWER at sf0.1
+    # (interleaved min-of-6: 7.6 s vs 11.5 s) — the struct rows, the
+    # concat materialization and the wider (key, n, gram) shuffle cost
+    # more than the second narrow scan they save
+    g2 = word_ngram_occurrences(docs, key, text_col, 2).groupBy(key, "gram").agg(
+        F.count("*").alias("cnt")
     )
-
-    def _grams(n: int):
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(words, i, n), " ").alias("gram"),
-            ),
-        )
-
-    gall = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(key), F.explode(F.concat(_grams(2), _grams(5))).alias("g"))
-        .select(F.col(key), F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        .where(F.col("gram") != "")
-        .groupBy(key, "n", "gram")
-        .agg(F.count("*").alias("cnt"))
-    )
-    g2 = gall.where(F.col("n") == 2).drop("n")
     w = Window.partitionBy(key).orderBy(F.desc("cnt"), F.asc("gram"))
     top2 = (
         g2.withColumn("rn", F.row_number().over(w))
@@ -134,7 +116,10 @@ def repetition_report(
     )
 
     dup5 = (
-        gall.where((F.col("n") == 5) & (F.col("cnt") > 1))
+        word_ngram_occurrences(docs, key, text_col, 5)
+        .groupBy(key, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
         .groupBy(key)
         .agg(
             F.sum(F.col("cnt") * F.length("gram")).cast("long").alias("dup5_chars")
