@@ -34,6 +34,23 @@ def word_count_col(text: Column) -> Column:
     return F.size(F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda x: x != ""))
 
 
+def with_stats(docs: DataFrame) -> DataFrame:
+    """(Re)compute the S8 stats columns (n_chars, n_words, n_pages) from
+    ``extracted_text`` — used by :func:`extract_docs` and by any stage
+    that rewrites extracted_text afterwards (the curate stage's
+    boilerplate-line strip), so the stats never go stale."""
+    return docs.select(
+        *[c for c in docs.columns if c not in ("n_chars", "n_words", "n_pages")],
+        F.coalesce(F.length("extracted_text"), F.lit(0)).alias("n_chars"),
+        word_count_col(F.col("extracted_text")).alias("n_words"),
+        F.when(F.col("extracted_text").isNull(), F.lit(0))
+        .otherwise(
+            F.size(F.split(F.col("extracted_text"), "--- Page", -1)) - 1
+        )
+        .alias("n_pages"),
+    )
+
+
 def extract_docs(pages: DataFrame) -> DataFrame:
     """pages → docs(url, warc_ts, lang, extracted_text, n_chars, n_words, n_pages).
 
@@ -43,19 +60,11 @@ def extract_docs(pages: DataFrame) -> DataFrame:
     extracted = F.when(
         F.col("text").isNotNull(), F.col("text")
     ).otherwise(extract_text_udf(F.col("html")))
-    docs = pages.select(
-        "url",
-        "warc_ts",
-        "lang",
-        extracted.alias("extracted_text"),
-    )
-    return docs.select(
-        "*",
-        F.coalesce(F.length("extracted_text"), F.lit(0)).alias("n_chars"),
-        word_count_col(F.col("extracted_text")).alias("n_words"),
-        F.when(F.col("extracted_text").isNull(), F.lit(0))
-        .otherwise(
-            F.size(F.split(F.col("extracted_text"), "--- Page", -1)) - 1
+    return with_stats(
+        pages.select(
+            "url",
+            "warc_ts",
+            "lang",
+            extracted.alias("extracted_text"),
         )
-        .alias("n_pages"),
     )

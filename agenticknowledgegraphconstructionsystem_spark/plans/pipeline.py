@@ -76,6 +76,7 @@ class Pipeline:
         dedup_threshold: float = 0.5,
         graph_metrics: bool = False,
         curate: bool = False,
+        strip_boilerplate: bool = False,
         decontam_benchmark: DataFrame | None = None,
         assemble_ctx: int | None = None,
         mixture_targets: dict[str, int] | None = None,
@@ -112,7 +113,12 @@ class Pipeline:
         13-gram-contaminated docs (operators/decontam.py), and PII is
         redacted in place (operators/pii.py) so everything downstream —
         mentions, relationships, triples — only ever sees masked text.
-        Default off: the reference has no curation tier.
+        ``strip_boilerplate=True`` additionally strips cross-document
+        boilerplate lines (operators/lines.py — lines recurring in
+        ≥ BOILERPLATE_MIN_DOCS distinct docs) from every doc FIRST, with
+        the S8 stats recomputed, so the doc-level filters score the real
+        content rather than shared chrome.  Default off: the reference
+        has no curation tier.
 
         ``assemble_ctx=<ctx_len>`` adds the corpus→training-stream
         assembly stage over the final (deduped, curated) docs: an
@@ -133,7 +139,8 @@ class Pipeline:
         self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
         self.dedup_threshold = dedup_threshold
         self.graph_metrics = graph_metrics
-        self.curate = curate
+        self.curate = curate or strip_boilerplate
+        self.strip_boilerplate = strip_boilerplate
         self.decontam_benchmark = decontam_benchmark
         self.assemble_ctx = assemble_ctx
         self.mixture_targets = mixture_targets
@@ -295,19 +302,34 @@ class Pipeline:
         return base.join(losers, "url", "left_anti")
 
     def _curate_docs(self, docs: DataFrame) -> DataFrame:
-        """Training-data curation: (1) drop docs failing any Gopher
-        repetition cap, (2) drop docs 13-gram-contaminated by the eval
-        benchmark if one was given, (3) redact PII in the surviving
-        extracted_text.  NULL-text docs pass through untouched (nothing
-        to score or mask).
+        """Training-data curation: (0) optionally strip cross-document
+        boilerplate lines and recompute the S8 stats, (1) drop docs
+        failing any Gopher repetition cap, (2) drop docs
+        13-gram-contaminated by the eval benchmark if one was given,
+        (3) redact PII in the surviving extracted_text.  NULL-text docs
+        pass through untouched (nothing to score or mask).
 
-        Scale shape: repetition is explode→groupBy branches (linear, see
-        PLANS.md), decontam probes a broadcast benchmark gram set, both
-        drops are anti-joins on url; redaction is a zero-shuffle
-        projection."""
+        Scale shape: the boilerplate strip is one distinct-doc line
+        census + broadcast anti-join + per-doc rebuild (lines.py),
+        repetition is explode→groupBy branches (linear, see PLANS.md),
+        decontam probes a broadcast benchmark gram set, both drops are
+        anti-joins on url; redaction is a zero-shuffle projection."""
         from ..operators.decontam import contamination_report
         from ..operators.pii import pii_columns
         from ..operators.repetition import repetition_report
+
+        if self.strip_boilerplate:
+            from ..operators.extract import with_stats
+            from ..operators.lines import strip_boilerplate_lines
+
+            cleaned = strip_boilerplate_lines(
+                docs, key="url", text_col="extracted_text"
+            ).select("url", F.col("text_clean").alias("extracted_text"))
+            docs = with_stats(
+                docs.drop("extracted_text", "n_chars", "n_words", "n_pages").join(
+                    cleaned, "url", "left"
+                )
+            )
 
         with_text = docs.where(F.col("extracted_text").isNotNull())
         repetitive = (

@@ -68,6 +68,13 @@ def main() -> None:
         "--decontam-benchmark to also drop eval-contaminated docs",
     )
     ap.add_argument(
+        "--strip-boilerplate",
+        action="store_true",
+        help="inside curation, first strip lines recurring across >= "
+        "BOILERPLATE_MIN_DOCS distinct docs (cookie banners, nav menus) "
+        "and recompute the extraction stats",
+    )
+    ap.add_argument(
         "--decontam-benchmark",
         help="parquet path of an eval set (id + text columns) for 13-gram "
         "decontamination inside --curate",
@@ -124,6 +131,7 @@ def main() -> None:
         dedup_threshold=args.dedup_threshold,
         graph_metrics=args.graph_metrics,
         curate=args.curate or bool(args.decontam_benchmark),
+        strip_boilerplate=args.strip_boilerplate,
         decontam_benchmark=(
             spark.read.parquet(args.decontam_benchmark)
             if args.decontam_benchmark

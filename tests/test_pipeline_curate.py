@@ -108,3 +108,54 @@ def test_curate_clean_corpus_is_a_noop_vs_uncurated(spark, tmp_path):
     t_cur = sorted(map(tuple, cur["triples"].collect()))
     t_base = sorted(map(tuple, base["triples"].collect()))
     assert t_cur == t_base
+
+
+_FOOTER = "subscribe to our newsletter for updates"
+
+
+def test_strip_boilerplate_inside_curate(spark, tmp_path):
+    """strip_boilerplate=True removes a footer line shared by many docs
+    BEFORE the doc-level filters, recomputes the S8 stats, and leaves
+    unique content byte-identical."""
+    rows = synthetic_pages_rows(N_DOCS)
+    # plant the footer via the P1 text-wins path on 8 docs (>= min_docs);
+    # the rest keep their html-extracted bodies untouched
+    for i, r in enumerate(rows[:8]):
+        r["text"] = f"unique content line {i} about the spark system\n{_FOOTER}"
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    p = Pipeline(spark, str(tmp_path / "kg"), strip_boilerplate=True)
+    res = p.run(pages)
+    docs = res["docs"].collect()
+    assert any(r["extracted_text"] is not None for r in docs)
+    for r in docs:
+        t = r["extracted_text"]
+        if t is None:
+            assert r["n_chars"] == 0
+            continue
+        assert _FOOTER not in t
+        assert not t.endswith("\n")  # footer line AND its newline are gone
+        assert r["n_chars"] == len(t)  # stats recomputed after the strip
+
+    # independent python reference: uncurated texts with every line that
+    # recurs in >= 5 distinct docs removed (this also strips the shared
+    # "--- Page N ---" marker lines — genuinely cross-doc boilerplate)
+    from collections import Counter
+
+    base = Pipeline(spark, str(tmp_path / "base")).run(pages)
+    texts = {r["url"]: r["extracted_text"] for r in base["docs"].collect()}
+    cnt = Counter()
+    for t in texts.values():
+        if t is not None:
+            for ln in {l.strip() for l in t.split("\n")} - {""}:
+                cnt[ln] += 1
+    boiler = {ln for ln, c in cnt.items() if c >= 5}
+    assert _FOOTER in boiler
+
+    def ref_strip(t):
+        if t is None:
+            return None
+        return "\n".join(l for l in t.split("\n") if l.strip() not in boiler)
+
+    got = {r["url"]: r["extracted_text"] for r in docs}
+    want = {u: ref_strip(t) for u, t in texts.items()}
+    assert got == want
