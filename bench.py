@@ -38,7 +38,7 @@ def _force(df) -> int:
 def _timed(fn) -> tuple[float, list[float]]:
     """min-of-N wall plus the raw walls (N = REPEATS).  Eager persists the
     dedup operators register are released after every run (the module's
-    own contract, dedup.py unpersist_tracked) — 27 queries x N repeats
+    own contract, dedup.py unpersist_tracked) — ~30 queries x N repeats
     would otherwise accumulate MEMORY_AND_DISK caches for the whole
     session and skew later numbers under memory pressure."""
     from agenticknowledgegraphconstructionsystem_spark.operators import dedup
@@ -92,6 +92,7 @@ def main() -> None:
         # and the packing window — the rest are projections/broadcasts
         "td_repetition": CURATION_MICRO_QUERIES["td_repetition"],
         "td_pack_sequences": CURATION_MICRO_QUERIES["td_pack_sequences"],
+        "td_line_dedup": CURATION_MICRO_QUERIES["td_line_dedup"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
         "rel_big_group": REL_QUERIES["rel_big_group"],
