@@ -752,6 +752,50 @@ SELECT term, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_VOCAB_V}"""
 
 
+# --- token-familiarity micro-gate ------------------------------------------
+
+
+def q_familiarity(spark, sf_dir):
+    """textstats.token_familiarity: CCNet-style quality proxy — mean
+    corpus document-frequency of each doc's tokens in ppm, integer-exact
+    `div` arithmetic end to end."""
+    from .operators.textstats import token_familiarity
+
+    return token_familiarity(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "n_tokens",
+        "familiarity_ppm",
+    )
+
+
+O_FAMILIARITY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+pdt AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pdt GROUP BY term),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus
+  FROM documents WHERE text IS NOT NULL
+),
+ppm AS (SELECT term, (df * 1000000 // n_corpus) AS term_ppm FROM dfs, n),
+agg AS (
+  SELECT pdt.doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf * term_ppm) // SUM(tf) AS BIGINT) AS familiarity_ppm
+  FROM pdt JOIN ppm USING (term) GROUP BY pdt.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.familiarity_ppm, 0) AS BIGINT) AS familiarity_ppm
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # Suites (driver-window slots) + individual sweep registry
 # ---------------------------------------------------------------------------
@@ -779,6 +823,8 @@ _CURATE_SUITE = [
      ["line", "n_docs", "n_occurrences"]),
     ("line_dedup", q_line_dedup, O_LINE_DEDUP,
      ["doc_id", "text_clean", "n_lines_kept", "n_lines_removed"]),
+    ("familiarity", q_familiarity, O_FAMILIARITY,
+     ["doc_id", "n_tokens", "familiarity_ppm"]),
 ]
 
 _SAMPLING_SUITE = [
@@ -835,6 +881,7 @@ CURATION_MICRO_QUERIES = {
     "td_vocabulary": q_vocabulary,
     "td_boilerplate_lines": q_boilerplate_lines,
     "td_line_dedup": q_line_dedup,
+    "td_familiarity": q_familiarity,
 }
 
 CURATION_MICRO_ORACLES = {
@@ -852,4 +899,5 @@ CURATION_MICRO_ORACLES = {
     "td_vocabulary": O_VOCABULARY,
     "td_boilerplate_lines": O_BOILERPLATE_LINES,
     "td_line_dedup": O_LINE_DEDUP,
+    "td_familiarity": O_FAMILIARITY,
 }

@@ -323,3 +323,64 @@ def top_vocabulary(
         "n_docs",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def token_familiarity(
+    docs: "DataFrame", key: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """CCNet-style LM-quality proxy with integer-exact cross-engine
+    arithmetic → (key, n_tokens, familiarity_ppm) for EVERY input row.
+
+    CCNet ranks crawl docs by LM perplexity; float log-probs diverge in
+    the last ulp across engines, so this scores each document by the mean
+    corpus document-frequency of its tokens instead, in parts-per-million
+    of the corpus: term_ppm(t) = df(t)·10⁶ div N (N = docs with non-NULL
+    text), familiarity_ppm = Σ tf·term_ppm div Σ tf.  Gibberish / OCR
+    noise / wrong-language text scores low (its tokens appear almost
+    nowhere else); natural prose scores high.  All arithmetic is int64
+    integral division (`div` / DuckDB `//`) — df·10⁶ ≤ N·10⁶ and
+    Σ tf·term_ppm ≤ n_tokens·10⁶ both stay in range at 10^12 docs.
+    NULL-text rows → (0, 0).
+
+    Scale shape: one explode → map-side-combinable (key, term) tf
+    aggregation (≤ 1 row per doc-term pair reaches the shuffle) → term
+    df re-aggregation; the corpus count joins in-plan as a broadcast
+    1-row aggregate (no eager driver action); the tf⋈df join shuffles on
+    the term hash — the per-term row count is bounded by df(t), so
+    stopword-grade terms are the AQE skew-join case, the same hot-key
+    class the df caps bound elsewhere (dedup.py, graph.py).
+    """
+    base = docs.where(F.col(text_col).isNotNull())
+    toks = base.select(
+        F.col(key),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    pdt = toks.groupBy(key, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfs = pdt.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n1 = base.agg(F.count("*").cast("long").alias("n_corpus"))
+    ppm = dfs.crossJoin(F.broadcast(n1)).select(
+        "term", F.expr("df * 1000000 div n_corpus").alias("term_ppm")
+    )
+    agg = (
+        pdt.join(ppm, "term")
+        .groupBy(key)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr("sum(tf * term_ppm) div sum(tf)")
+            .cast("long")
+            .alias("familiarity_ppm"),
+        )
+    )
+    return (
+        docs.select(key)
+        .join(agg, key, "left")
+        .select(
+            key,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("familiarity_ppm", F.lit(0))
+            .cast("long")
+            .alias("familiarity_ppm"),
+        )
+    )

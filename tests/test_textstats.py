@@ -13,6 +13,8 @@ from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
     token_counts,
 )
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 def test_language_id(spark):
     docs = spark.createDataFrame(
@@ -109,3 +111,53 @@ def test_top_vocabulary_cut_and_ties(spark):
     assert sum(r["n_occurrences"] for r in full.values()) == 12
     with pytest.raises(ValueError):
         top_vocabulary(docs, v=0)
+
+
+def test_token_familiarity_hand_values(spark):
+    """Hand-computed ppm math: N=4 text docs; df(the)=3, df(cat)=df(ran)=2,
+    singletons elsewhere; gibberish doc scores lowest, NULL → zeros."""
+    from pyspark.sql import Row
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        token_familiarity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat"),
+            Row(doc_id=2, text="the dog ran"),
+            Row(doc_id=3, text="the cat ran"),
+            Row(doc_id=4, text="zxqv qqq"),
+            Row(doc_id=5, text=None),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["familiarity_ppm"])
+        for r in token_familiarity(docs).collect()
+    }
+    assert got == {
+        1: (3, 500000),   # (750000+500000+250000) div 3
+        2: (3, 500000),
+        3: (3, 583333),   # 1750000 div 3 — floor via integral div
+        4: (2, 250000),   # gibberish: both tokens df=1
+        5: (0, 0),
+    }
+
+
+def test_token_familiarity_matches_duckdb_twin(spark):
+    import duckdb
+
+    from agenticknowledgegraphconstructionsystem_spark.gate_curation import (
+        O_FAMILIARITY,
+        q_familiarity,
+    )
+
+    got = sorted(tuple(r) for r in q_familiarity(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(O_FAMILIARITY).fetchall())
+    con.close()
+    assert got == want
