@@ -288,8 +288,16 @@ def pagerank_fixed_point(
                 .cast("long")
                 .alias("pr"),
             )
-            .transform(cut_lineage)
         )
+        # lineage cut (an EAGER materialization — one scheduled job) every
+        # 2nd round, not every round: the odd round's join+agg layer rides
+        # inside the next cut's job, halving the serial job count at
+        # unchanged total compute (scores is referenced ONCE per layer, so
+        # nothing is evaluated twice).  Dangling graphs keep the per-round
+        # cut — their scalar mass aggregate acts on scores every round and
+        # would recompute an uncut layer.
+        if any_dangling or it % 2 == 1 or it == iters - 1:
+            new_scores = new_scores.transform(cut_lineage)
         if tol is not None and (it % 2 == 1 or it == iters - 1):
             delta = (
                 new_scores.alias("n")
