@@ -752,6 +752,72 @@ SELECT term, n_occurrences, n_docs, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_VOCAB_V}"""
 
 
+# --- exact duplicated-span micro-gate --------------------------------------
+
+#: gate span length: 13 (the decontam gram size) — short enough that the
+#: corpus's exact-duplicate docs and shared sentences make the check
+#: non-vacuous at every sf level; the operator default stays
+#: semantics.SPAN_DEDUP_N = 50.
+_SPAN_N = 13
+
+
+def q_span_dedup(spark, sf_dir):
+    """dedup.duplicated_span_report (Lee et al. ExactSubstr measure at
+    fixed span length) over the real documents table."""
+    from .operators.dedup import duplicated_span_report
+
+    return duplicated_span_report(_docs(spark, sf_dir), n=_SPAN_N).select(
+        F.col("doc_id").cast(_BIG).alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_span_pct",
+        "span_dup_ok",
+    )
+
+
+def _o_span_dedup() -> str:
+    k = _SPAN_N - 1
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS words
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, array_to_string(words[i:i+{k}], ' ') AS gram
+  FROM w, unnest(range(1, greatest(len(words) - {k}, 1) + 1)) AS t(i)
+),
+hs AS (
+  SELECT doc_id, {{poly}} AS h FROM (SELECT doc_id, gram FROM g WHERE gram <> '')
+),
+pd AS (
+  SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS k_cnt FROM hs GROUP BY 1, 2
+),
+c AS (SELECT h, CAST(SUM(k_cnt) AS BIGINT) AS c FROM pd GROUP BY h),
+r AS (
+  SELECT pd.doc_id,
+         CAST(SUM(k_cnt) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN c.c > 1 THEN k_cnt ELSE 0 END) AS BIGINT) AS n_dup
+  FROM pd JOIN c USING (h) GROUP BY pd.doc_id
+),
+m AS (
+  SELECT d.doc_id,
+         coalesce(r.n_spans, 0) AS n_spans,
+         coalesce(r.n_dup, 0) AS n_dup_spans,
+         CASE WHEN coalesce(r.n_spans, 0) > 0
+              THEN CAST(floor(coalesce(r.n_dup, 0) * 100 / r.n_spans) AS BIGINT)
+              ELSE 0 END AS dup_span_pct
+  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+       dup_span_pct,
+       dup_span_pct <= {S.DUP_SPAN_MAX_PCT} AS span_dup_ok
+FROM m""".format(poly=_sql_poly("gram"))
+
+
 # --- token-familiarity micro-gate ------------------------------------------
 
 
@@ -825,6 +891,8 @@ _CURATE_SUITE = [
      ["doc_id", "text_clean", "n_lines_kept", "n_lines_removed"]),
     ("familiarity", q_familiarity, O_FAMILIARITY,
      ["doc_id", "n_tokens", "familiarity_ppm"]),
+    ("span_dedup", q_span_dedup, _o_span_dedup(),
+     ["doc_id", "n_spans", "n_dup_spans", "dup_span_pct", "span_dup_ok"]),
 ]
 
 _SAMPLING_SUITE = [
@@ -882,6 +950,7 @@ CURATION_MICRO_QUERIES = {
     "td_boilerplate_lines": q_boilerplate_lines,
     "td_line_dedup": q_line_dedup,
     "td_familiarity": q_familiarity,
+    "td_span_dedup": q_span_dedup,
 }
 
 CURATION_MICRO_ORACLES = {
@@ -900,4 +969,5 @@ CURATION_MICRO_ORACLES = {
     "td_boilerplate_lines": O_BOILERPLATE_LINES,
     "td_line_dedup": O_LINE_DEDUP,
     "td_familiarity": O_FAMILIARITY,
+    "td_span_dedup": _o_span_dedup(),
 }

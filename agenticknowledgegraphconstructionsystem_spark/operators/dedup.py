@@ -517,3 +517,69 @@ def dedup_rate_by_group(
         F.sum((~F.col("_is_keeper")).cast("int")).cast("long").alias("n_dup_rows"),
         F.sum(F.col("_is_keeper").cast("int")).cast("long").alias("n_keepers"),
     )
+
+
+def duplicated_span_report(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n: int = S.SPAN_DEDUP_N,
+) -> DataFrame:
+    """Exact duplicated-span detection (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr measure
+    at fixed span length) → (key, n_spans, n_dup_spans, dup_span_pct,
+    span_dup_ok) for EVERY input row.
+
+    A span is an ``n``-token word gram (multiset, one per start
+    position); it is *duplicated* when its portable poly-hash occurs more
+    than once CORPUS-WIDE — multiplicity counted, so within-document
+    repeats and cross-document copies both register, exactly as the
+    paper's suffix-array pass would at this span length.  Complements
+    the pairwise near-dup family (minhash/winnow find *which docs* are
+    copies; this measures *how much* of each doc is copied text) and
+    decontam (same machinery vs an external eval set).
+    NULL/blank text → zeros, ok=true.
+
+    Scale shape: explode → (key, hash) map-side-combinable aggregation
+    (≤ 1 row per doc-span pair reaches the shuffle) → corpus span counts
+    derived by re-aggregating that same table → one join back on the
+    span hash (per-key rows bounded by the span's doc frequency —
+    boilerplate-grade spans are the AQE skew-join case) → per-doc
+    rollup.  Nothing quadratic; the span universe is corpus-linear.
+    """
+    from ..functions.hashing import poly_hash_col
+    from .repetition import word_ngram_occurrences
+
+    sp = word_ngram_occurrences(docs, key, text_col, n).select(
+        F.col(key), poly_hash_col(F.col("gram")).alias("h")
+    )
+    per_doc = sp.groupBy(key, "h").agg(F.count("*").cast("long").alias("k_cnt"))
+    counts = per_doc.groupBy("h").agg(F.sum("k_cnt").cast("long").alias("c"))
+    rolled = (
+        per_doc.join(counts, "h")
+        .groupBy(key)
+        .agg(
+            F.sum("k_cnt").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("c") > 1, F.col("k_cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0))
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0))
+    pct = (
+        F.when(n_spans > 0, F.floor(n_dup * 100 / n_spans))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        docs.select(key)
+        .join(rolled, key, "left")
+        .select(
+            key,
+            n_spans.cast("long").alias("n_spans"),
+            n_dup.cast("long").alias("n_dup_spans"),
+            pct.alias("dup_span_pct"),
+            (pct <= S.DUP_SPAN_MAX_PCT).alias("span_dup_ok"),
+        )
+    )

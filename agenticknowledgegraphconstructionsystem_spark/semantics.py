@@ -129,6 +129,16 @@ DUP_LINE_CHAR_MAX_PCT = 20
 TOP2_CHAR_MAX_PCT = 20
 DUP5_CHAR_MAX_PCT = 15
 
+#: exact duplicated-span detection (dedup.duplicated_span_report + its
+#: DuckDB twin) — the Lee et al. 2021 ExactSubstr-dedup measure at fixed
+#: span length: a SPAN_DEDUP_N-token span occurring more than once
+#: corpus-wide (multiplicity counted, within-doc repeats included) is
+#: duplicated; a doc whose duplicated-span share exceeds
+#: DUP_SPAN_MAX_PCT fails the verdict.  Spans are compared by portable
+#: poly-hash (the decontam discipline), so the gate is cross-engine.
+SPAN_DEDUP_N = 50
+DUP_SPAN_MAX_PCT = 20
+
 #: cross-document boilerplate-line cut (operators/lines.py + its DuckDB
 #: twin): a trimmed non-empty line recurring in at least this many
 #: DISTINCT documents (cookie banners, nav menus, subscribe footers) is

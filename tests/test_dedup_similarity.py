@@ -22,6 +22,8 @@ from agenticknowledgegraphconstructionsystem_spark.operators.similarity import (
 )
 from agenticknowledgegraphconstructionsystem_spark.semantics import word_ngrams
 
+SF_DIR = "/root/testdata/sf0.001"
+
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog again and again today"),
     (1, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
@@ -150,3 +152,57 @@ def test_dedup_rate_by_group_cross_source_attribution(spark):
         for r in dedup_rate_by_group(spark.createDataFrame(rows)).collect()
     }
     assert got == {"srcA": (2, 0, 2), "srcB": (3, 2, 1)}
+
+
+def test_duplicated_span_report_planted(spark):
+    """Lee et al. ExactSubstr measure at n=3: cross-doc copied spans and
+    within-doc repeats both register; unique prose and NULL don't."""
+    from pyspark.sql import Row
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.dedup import (
+        duplicated_span_report,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens → two 3-gram spans
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared),                    # copy A
+            Row(doc_id=2, text=shared),                    # copy B — 100% dup
+            Row(doc_id=3, text="one two three four five six"),  # unique
+            Row(doc_id=4, text="rep rep rep rep"),         # within-doc repeat
+            Row(doc_id=5, text=None),
+        ],
+        schema="doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["dup_span_pct"], r["span_dup_ok"]
+        )
+        for r in duplicated_span_report(docs, n=3).collect()
+    }
+    assert got[1] == (2, 2, 100, False)
+    assert got[2] == (2, 2, 100, False)
+    assert got[3] == (4, 0, 0, True)
+    # "rep rep rep" occurs at 2 start positions within one doc
+    assert got[4] == (2, 2, 100, False)
+    assert got[5] == (0, 0, 0, True)
+
+
+def test_duplicated_span_report_matches_duckdb_twin(spark):
+    import duckdb
+
+    from agenticknowledgegraphconstructionsystem_spark.gate_curation import (
+        _o_span_dedup,
+        q_span_dedup,
+    )
+
+    got = sorted(tuple(r) for r in q_span_dedup(spark, SF_DIR).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(_o_span_dedup()).fetchall())
+    con.close()
+    assert got == want
+    # non-vacuous: the sf corpus contains duplicated spans
+    assert any(r[2] > 0 for r in got)
