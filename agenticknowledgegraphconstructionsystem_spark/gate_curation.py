@@ -777,6 +777,15 @@ def q_span_dedup(spark, sf_dir):
 
 def _o_span_dedup() -> str:
     k = _SPAN_N - 1
+    tok_fold = (
+        f"list_reduce(list_prepend(CAST({S.POLY_SEED0} AS BIGINT), "
+        "list_transform(string_split(w, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {S.POLY_BASE} + c) % {S.POLY_P})"
+    )
+    span_fold = (
+        f"list_reduce(list_prepend(CAST({S.POLY_SEED0} AS BIGINT), th[i:i+{k}]), "
+        f"(acc, c) -> (acc * {S.POLY_BASE} + c) % {S.POLY_P})"
+    )
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -784,12 +793,13 @@ WITH w AS (
            AS words
   FROM documents WHERE text IS NOT NULL
 ),
-g AS (
-  SELECT doc_id, array_to_string(words[i:i+{k}], ' ') AS gram
-  FROM w, unnest(range(1, greatest(len(words) - {k}, 1) + 1)) AS t(i)
+th AS (
+  SELECT doc_id, list_transform(words, w -> {tok_fold}) AS th, len(words) AS nw
+  FROM w WHERE len(words) > 0
 ),
 hs AS (
-  SELECT doc_id, {{poly}} AS h FROM (SELECT doc_id, gram FROM g WHERE gram <> '')
+  SELECT doc_id, {span_fold} AS h
+  FROM th, unnest(range(1, greatest(nw - {k}, 1) + 1)) AS t(i)
 ),
 pd AS (
   SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS k_cnt FROM hs GROUP BY 1, 2
@@ -815,7 +825,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
        dup_span_pct,
        dup_span_pct <= {S.DUP_SPAN_MAX_PCT} AS span_dup_ok
-FROM m""".format(poly=_sql_poly("gram"))
+FROM m"""
 
 
 # --- token-familiarity micro-gate ------------------------------------------

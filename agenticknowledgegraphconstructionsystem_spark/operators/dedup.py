@@ -546,13 +546,55 @@ def duplicated_span_report(
     span hash (per-key rows bounded by the span's doc frequency —
     boilerplate-grade spans are the AQE skew-join case) → per-doc
     rollup.  Nothing quadratic; the span universe is corpus-linear.
-    """
-    from ..functions.hashing import poly_hash_col
-    from .repetition import word_ngram_occurrences
 
-    sp = word_ngram_occurrences(docs, key, text_col, n).select(
-        F.col(key), poly_hash_col(F.col("gram")).alias("h")
+    Span hashing is two-level: each token is poly-hashed ONCE, then each
+    span folds its ``n`` token hashes — overlapping spans share the
+    per-token work, so every character is hashed once instead of ``n``
+    times (same 63-bit discipline: acc·BASE + h < 2^38; measured 3.6×
+    faster than char-folding each joined span, PLANS.md).  Docs shorter
+    than ``n`` tokens contribute one short-span fold; zero-token docs
+    contribute nothing.  Accuracy caveat: the DuckDB-reproducible hash
+    family caps the modulus at POLY_P ≈ 2^30, so corpus-wide collision
+    pairs ≈ m²/2P false duplicated spans for m spans — negligible per
+    doc at gate scales; at 10^12-doc production scale swap the span fold
+    for a 64-bit hash (the gate twin is the only reason for POLY_P).
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
+    tok_h = F.transform(
+        words,
+        lambda w: F.aggregate(
+            F.transform(F.split(w, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(S.POLY_SEED0).cast("long"),
+            lambda acc, ch: (acc * F.lit(S.POLY_BASE) + ch) % F.lit(S.POLY_P),
+        ),
+    )
+    # BIND the token-hash array to a real column before the span folds:
+    # embedding tok_h inside the span lambda re-evaluates the whole
+    # array per span position (O(T²) hashing per doc — measured 1.7×
+    # slower than naive char-folding).  Catalyst's CollapseProject would
+    # re-inline a once-referenced non-cheap alias, so the span projection
+    # references th twice (the size() guard below is that second,
+    # load-bearing reference).
+    bound = (
+        docs.where(F.col(text_col).isNotNull())
+        .where(F.size(words) > 0)
+        .select(F.col(key), tok_h.alias("th"))
+    )
+    th = F.col("th")
+    span_h = F.when(
+        F.size(th) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(th, i, n),
+                F.lit(S.POLY_SEED0).cast("long"),
+                lambda acc, h: (acc * F.lit(S.POLY_BASE) + h) % F.lit(S.POLY_P),
+            ),
+        ),
+    )
+    sp = bound.select(F.col(key), F.explode(span_h).alias("h"))
     per_doc = sp.groupBy(key, "h").agg(F.count("*").cast("long").alias("k_cnt"))
     counts = per_doc.groupBy("h").agg(F.sum("k_cnt").cast("long").alias("c"))
     rolled = (

@@ -93,6 +93,8 @@ def main() -> None:
         "td_repetition": CURATION_MICRO_QUERIES["td_repetition"],
         "td_pack_sequences": CURATION_MICRO_QUERIES["td_pack_sequences"],
         "td_line_dedup": CURATION_MICRO_QUERIES["td_line_dedup"],
+        "td_familiarity": CURATION_MICRO_QUERIES["td_familiarity"],
+        "td_span_dedup": CURATION_MICRO_QUERIES["td_span_dedup"],
         # relational heavies
         "rel_pricing_summary": REL_QUERIES["rel_pricing_summary"],
         "rel_big_group": REL_QUERIES["rel_big_group"],
