@@ -108,15 +108,24 @@ def word_ngram_shingles(
     docs: DataFrame, key: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
     """→ (key, shingle) distinct word n-grams, built natively:
-    split → sequence → slice → array_join."""
+    split → sequence → slice → array_join.
+
+    The word array is BOUND to a column before the slice lambda — an
+    expression embedded in a HOF lambda is re-evaluated per element
+    (split+lower per span position, O(T·chars) per doc; the round-5
+    HOF-binding lesson, PLANS.md); the upper projection's size()
+    reference keeps CollapseProject from re-inlining the alias."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+    bound = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(key), words.alias("_ws")
     )
-    return (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(key), F.explode(F.array_distinct(grams)).alias("shingle"))
+    ws = F.col("_ws")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return bound.select(
+        F.col(key), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 

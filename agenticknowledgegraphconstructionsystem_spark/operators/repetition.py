@@ -46,16 +46,23 @@ def word_ngram_occurrences(
     natively: split → sequence → slice → array_join.  Documents shorter
     than ``n`` words contribute their single joined short-gram; empty
     grams (blank text) are excluded."""
+    # word array bound to a column before the slice lambda (HOF-binding
+    # lesson, PLANS.md round 5): an expression inside the lambda would
+    # re-run split+lower+filter per span position; the size() reference
+    # in the upper projection keeps CollapseProject from re-inlining.
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
     )
+    bound = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(key), words.alias("_ws")
+    )
+    ws = F.col("_ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
     )
     return (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(key), F.explode(grams).alias("gram"))
+        bound.select(F.col(key), F.explode(grams).alias("gram"))
         .where(F.col("gram") != "")
     )
 

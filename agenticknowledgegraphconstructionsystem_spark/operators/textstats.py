@@ -164,11 +164,21 @@ def winnow_fingerprints(
             .select(F.col(key), F.explode(fp_udf(t)).alias("fp"))
             .distinct()
         )
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    # lower(text) bound to a column before the k-gram lambda (HOF-binding
+    # lesson, PLANS.md round 5): embedded in the lambda it would re-lower
+    # the whole document per gram position; the length() reference in the
+    # hashing projection keeps CollapseProject from re-inlining.  The _h
+    # projection below was already safe — size() + the slice lambda are
+    # two references.
+    bound = docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0)).select(
+        F.col(key), t.alias("_t")
+    )
+    tb = F.col("_t")
+    n_grams = F.greatest(F.length(tb) - (k - 1), F.lit(1))
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.aggregate(
-            F.transform(F.split(t.substr(i, F.lit(k)), ""), lambda c: F.ascii(c).cast("long")),
+            F.transform(F.split(tb.substr(i, F.lit(k)), ""), lambda c: F.ascii(c).cast("long")),
             F.lit(S.POLY_SEED0).cast("long"),
             lambda acc, c: (acc * F.lit(S.POLY_BASE) + c) % F.lit(S.POLY_P),
         ),
@@ -181,8 +191,7 @@ def winnow_fingerprints(
         )
     )
     return (
-        docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
-        .select(F.col(key), hashes.alias("_h"))
+        bound.select(F.col(key), hashes.alias("_h"))
         .select(F.col(key), F.explode(sel).alias("fp"))
         .distinct()
     )
