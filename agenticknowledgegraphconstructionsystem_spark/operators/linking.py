@@ -42,12 +42,18 @@ def name_shingles(entities: DataFrame, n: int = 3) -> DataFrame:
     """→ (name, shingle) distinct, plus set size. Shingles are char n-grams
     of ' ' + lower(name) + ' ' (semantics.char_ngrams), built natively:
     sequence → transform → explode stays in codegen."""
+    # padded name bound to a column first (HOF-binding lesson, PLANS.md
+    # round 5): embedded in the lambda, concat+lower+trim would re-run
+    # per gram position; length() in the sequence bound is the second
+    # reference that keeps CollapseProject from re-inlining.
+    padded = F.concat(F.lit(" "), F.lower(F.trim(F.col("name"))), F.lit(" "))
+    bound = entities.select("name", padded.alias("_pn"))
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(concat(' ', lower(trim(name)), ' ')) - {n - 1}, 1)), "
-        f"i -> substring(concat(' ', lower(trim(name)), ' '), i, {n}))"
+        f"transform(sequence(1, greatest(length(_pn) - {n - 1}, 1)), "
+        f"i -> substring(_pn, i, {n}))"
     )
     return (
-        entities.select("name", F.explode(F.array_distinct(grams)).alias("shingle"))
+        bound.select("name", F.explode(F.array_distinct(grams)).alias("shingle"))
         .distinct()
     )
 
