@@ -161,3 +161,31 @@ def test_token_familiarity_matches_duckdb_twin(spark):
     want = sorted(tuple(r) for r in con.execute(O_FAMILIARITY).fetchall())
     con.close()
     assert got == want
+
+
+def test_token_familiarity_copy_monotonicity(spark):
+    """Directional property under corpus growth: adding a verbatim copy
+    raises the familiarity of docs sharing its tokens (their dfs grow)
+    and lowers docs sharing none (only the N denominator grows); copies
+    score identically."""
+    from pyspark.sql import Row
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.textstats import (
+        token_familiarity,
+    )
+
+    base_rows = [
+        Row(doc_id=1, text="alpha beta gamma"),
+        Row(doc_id=2, text="alpha delta epsilon"),
+        Row(doc_id=3, text="zeta eta theta"),
+    ]
+    base = spark.createDataFrame(base_rows, schema="doc_id bigint, text string")
+    grown = spark.createDataFrame(
+        base_rows + [Row(doc_id=4, text="alpha beta gamma")],
+        schema="doc_id bigint, text string",
+    )
+    f_base = {r["doc_id"]: r["familiarity_ppm"] for r in token_familiarity(base).collect()}
+    f_grown = {r["doc_id"]: r["familiarity_ppm"] for r in token_familiarity(grown).collect()}
+    assert f_grown[1] > f_base[1]      # its tokens doubled in df
+    assert f_grown[3] < f_base[3]      # denominator grew, its dfs didn't
+    assert f_grown[4] == f_grown[1]    # verbatim copies score identically
