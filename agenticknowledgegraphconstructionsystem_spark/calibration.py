@@ -35,9 +35,11 @@ def _xorshift_work(seed: int) -> int:
     return x
 
 
-#: pinned result of _xorshift_work(1) — guards against the workload being
-#: accidentally changed (which would silently break cross-round factors)
-_EXPECTED_SEED1 = None  # filled lazily on first run, then asserted
+#: pinned result of _xorshift_work(1) — a LITERAL constant, so any drift in
+#: the workload (N_ITERS, the mix, the mask) fails across processes and
+#: rounds, not just within one process (which is the case that matters for
+#: comparing rounds)
+_EXPECTED_SEED1 = 16965358617443516922
 
 
 def calibration_wall(n_procs: int = N_PROCS) -> float:
@@ -46,13 +48,10 @@ def calibration_wall(n_procs: int = N_PROCS) -> float:
     Normalization protocol: ``score = bench_wall / calibration_wall`` is
     comparable across rounds; raw walls are not.
     """
-    global _EXPECTED_SEED1
     t0 = time.time()
     with mp.get_context("spawn").Pool(n_procs) as pool:
         results = pool.map(_xorshift_work, range(1, n_procs + 1))
     wall = time.time() - t0
-    if _EXPECTED_SEED1 is None:
-        _EXPECTED_SEED1 = results[0]
-    elif results[0] != _EXPECTED_SEED1:
-        raise AssertionError("calibration workload drifted within one process")
+    if results[0] != _EXPECTED_SEED1:
+        raise AssertionError("calibration workload drifted from the pinned value")
     return round(wall, 3)

@@ -295,8 +295,11 @@ def pagerank_fixed_point(
         # unchanged total compute (scores is referenced ONCE per layer, so
         # nothing is evaluated twice).  Dangling graphs keep the per-round
         # cut — their scalar mass aggregate acts on scores every round and
-        # would recompute an uncut layer.
-        if any_dangling or it % 2 == 1 or it == iters - 1:
+        # would recompute an uncut layer.  The tol path also keeps it:
+        # the odd-round delta check references scores a SECOND time
+        # (contribs join + delta join), so an uncut even-round layer would
+        # be evaluated twice.
+        if any_dangling or tol is not None or it % 2 == 1 or it == iters - 1:
             new_scores = new_scores.transform(cut_lineage)
         if tol is not None and (it % 2 == 1 or it == iters - 1):
             delta = (

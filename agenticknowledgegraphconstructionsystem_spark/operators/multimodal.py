@@ -111,9 +111,9 @@ def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
     concatenated IDAT stream + per-scanline unfilter (None/Sub/Up/
     Average/Paeth — the five filters of the PNG spec §9).  Raises
     ValueError for palette/gray/16-bit/interlaced flavors and corrupt
-    streams.  PNG is the one compressed format a web crawl actually
-    contains that is fully decodable without native libs (DEFLATE is
-    stdlib zlib) — JPEG stays an honest NotImplementedError."""
+    streams.  DEFLATE is stdlib zlib, so PNG decodes without native libs;
+    baseline JPEG has its own stdlib decoder (functions/jpeg.py) dispatched
+    via decode_image_any."""
     if len(payload) < 8 or payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8

@@ -349,7 +349,12 @@ class Pipeline:
             )
             kept = kept.join(contaminated, "url", "left_anti")
         redacted = pii_columns(F.col("extracted_text"))["text_redacted"]
-        return kept.withColumn("extracted_text", redacted)
+        from ..operators.extract import with_stats as _with_stats
+
+        # redaction rewrites extracted_text (a 20-char email → '<EMAIL>'),
+        # so the S8 stats are recomputed — same contract as the
+        # boilerplate-strip branch above: stats never go stale
+        return _with_stats(kept.withColumn("extracted_text", redacted))
 
     # -- per-doc incremental ingest (D8 at row granularity) ---------------
     def ingest_increment(self, pages: DataFrame) -> DataFrame:

@@ -218,6 +218,15 @@ class StageStore:
         never rewritten, so every retained snapshot stays readable.
         Returns the number of appended rows."""
         prev = self.manifest(stage)  # raises if not committed — appends need a base
+        if prev.get("partition_by"):
+            # delta dirs are written unpartitioned; mixing them under a
+            # Hive-partitioned base would produce a layout read()'s
+            # multi-path parquet scan cannot reconcile
+            raise ValueError(
+                f"append to Hive-partitioned stage {stage!r} "
+                f"(partition_by={prev['partition_by']}) is not supported; "
+                "re-commit with the full table instead"
+            )
         snap_id = self._next_id(stage)
         rel = f"delta-{snap_id}"
         df.write.mode("overwrite").parquet(os.path.join(self._path(stage), rel))

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from agenticknowledgegraphconstructionsystem_spark.operators.lines import (
     boilerplate_lines,
+    census_overflow,
     strip_boilerplate_lines,
 )
 
@@ -77,6 +78,36 @@ def test_strip_is_idempotent(spark):
     for r in once.collect():
         assert again[r["doc_id"]]["text_clean"] == r["text"]
         assert again[r["doc_id"]]["n_lines_removed"] == 0
+
+
+def test_census_above_cap_strips_identically_without_broadcast(spark):
+    """The census broadcast is SIZE-GATED: with the cap forced below the
+    census size the strip must (a) produce byte-identical results and
+    (b) plan the anti-join WITHOUT a broadcast hint — the 100 TB
+    OOM guard (a web-scale census can be 10^8+ distinct lines)."""
+    docs = _corpus(spark)
+    hinted = strip_boilerplate_lines(docs, min_docs=5)  # census=1 ≤ cap
+    capped = strip_boilerplate_lines(docs, min_docs=5, broadcast_cap=0)
+    lazy = strip_boilerplate_lines(docs, min_docs=5, broadcast_cap=None)
+    want = sorted(map(tuple, hinted.collect()))
+    assert sorted(map(tuple, capped.collect())) == want
+    assert sorted(map(tuple, lazy.collect())) == want
+    # the hint must be present under the cap and absent above it / in
+    # pure-lazy mode (AQE may still broadcast at runtime from REAL stats —
+    # that is the point: no unconditional driver-side broadcast)
+    assert "strategy=broadcast" in hinted._jdf.queryExecution().optimizedPlan().toString()
+    for df in (capped, lazy):
+        assert "strategy=broadcast" not in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_census_overflow_audit(spark):
+    docs = _corpus(spark)  # census = 1 line at min_docs=5
+    row = census_overflow(docs, min_docs=5).collect()[0]
+    assert (row["census_rows"], row["broadcastable"]) == (1, True)
+    over = census_overflow(docs, min_docs=5, broadcast_cap=0).collect()[0]
+    assert (over["census_rows"], over["broadcast_cap"], over["broadcastable"]) == (1, 0, False)
+    nocap = census_overflow(docs, min_docs=5, broadcast_cap=None).collect()[0]
+    assert (nocap["broadcast_cap"], nocap["broadcastable"]) == (-1, True)
 
 
 def test_line_dedup_matches_duckdb_twin(spark):

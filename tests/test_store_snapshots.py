@@ -48,6 +48,24 @@ def test_commit_append_rollback_roundtrip(spark, tmp_path):
     assert store.manifest("t")["rows"] == 15
 
 
+def test_append_to_partitioned_stage_raises(spark, tmp_path):
+    """Delta dirs are written unpartitioned; silently appending one under
+    a Hive-partitioned base would leave a mixed layout read() cannot
+    reconcile — the guard must refuse up front."""
+    from pyspark.sql import functions as F
+
+    store = StageStore(spark, str(tmp_path / "st"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("shard")
+    )
+    store.commit("t", base, run_id="r1", partition_by=["shard"])
+    with pytest.raises(ValueError, match="partition"):
+        store.append("t", base.limit(2))
+    # the refused append must not have mutated the snapshot
+    assert store.manifest("t")["kind"] == "overwrite"
+    assert len(_rows(store.read("t"))) == 10
+
+
 def test_rollback_unknown_snapshot_raises(spark, tmp_path):
     store = StageStore(spark, str(tmp_path / "st"))
     store.commit("t", spark.range(3), run_id="r1")
