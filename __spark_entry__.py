@@ -6,8 +6,10 @@ SURVEY.md §2; ``oracle_sql()`` gives the exact DuckDB equivalent (generated
 from the same constants in ``semantics.py`` — see ``oracles.py``).
 
 The driver records CORRECTNESS rows for at most 50 queries (first 50 in
-insertion order).  The exported surface is curated to EXACTLY 50: all 19
-KG gates, then 19 training-data gates (LSH/ANN/winnow/sketch/curation —
+insertion order).  The exported surface is curated to EXACTLY 50: all 20
+KG gates (incl. kg_stream_mentions — the Structured-Streaming drain's
+driver row, round 6), then 18 training-data gates (LSH/ANN/winnow/sketch/
+curation —
 the engine's dedup story; per-doc textstats + sampling micro-gates ride
 td_textstats_suite / td_sampling_suite, and the url/PII/repetition/
 decontamination micro-gates ride td_url_suite / td_curation_suite —

@@ -259,6 +259,96 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_drained_mentions(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the first :data:`semantics.STREAM_GATE_DOCS` documents
+    through the REAL Structured Streaming path — parquet file source →
+    detect/clean mentions (stateless narrow ops, identical Column
+    expressions to the batch detector) → ``availableNow`` parquet sink
+    with a durable checkpoint — in TWO drains over ONE checkpoint, the
+    second landing only the delta files (source offsets) with the sink
+    commit log making the appends exactly-once.  Returns the sink dir.
+
+    The fixture is content-addressed under /tmp (md5 of the doc rows) and
+    guarded by a ``done`` marker, so repeat invocations (driver repeats,
+    check_gate sweeps) reuse the drained sink; a crash mid-protocol
+    resumes exactly where the checkpoint left off — re-drains are no-ops
+    on already-committed batches, which is the property being gated."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.ops import drain_to_parquet
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < S.STREAM_GATE_DOCS)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update(str(r["doc_id"]).encode())
+        h.update((r["text"] or "\x00NULL").encode())
+    root = os.path.join(tempfile.gettempdir(), f"stream_gate_{h.hexdigest()}")
+    in_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    ck_dir = os.path.join(root, "ck")
+    done = os.path.join(root, "done")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(in_dir, exist_ok=True)
+    half = len(rows) // 2
+    for name, batch in (("b1", rows[:half]), ("b2", rows[half:])):
+        target = os.path.join(in_dir, f"{name}.parquet")
+        if not os.path.exists(target):
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([r["doc_id"] for r in batch], pa.int64()),
+                    "text": pa.array([r["text"] for r in batch], pa.string()),
+                }
+            )
+            tmp = os.path.join(root, f"{name}.tmp")  # outside the source dir
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, target)  # atomic: the source never sees a partial file
+        stream_docs = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(in_dir)
+            .select(
+                F.col("doc_id").alias("url"),
+                F.col("text").alias("extracted_text"),
+            )
+        )
+        drain_to_parquet(
+            clean_mentions(detect_mentions_native(stream_docs)), out_dir, ck_dir
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def q_stream_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 streaming with a driver CORRECTNESS row: the drained sink of
+    :func:`_stream_drained_mentions` compared hash-exact against the
+    batch DuckDB mentions oracle over the same doc_id window — a
+    terminating ``availableNow`` drain is batch-expressible, so the
+    streaming path (file-source offsets, micro-batch Arrow detection,
+    exactly-once parquet sink) gets the same value-level pin as every
+    batch operator instead of pytest-only equivalence properties."""
+    out_dir = _stream_drained_mentions(spark, sf_dir)
+    return spark.read.parquet(out_dir).select(
+        F.col("url").cast(_BIG).alias("doc_id"),
+        "name",
+        "concept_type",
+        F.col("relevance_pct").cast(_BIG).alias("relevance_pct"),
+        F.col("pos").cast(_BIG).alias("pos"),
+        "context",
+    )
+
+
 SEARCH_QUERY_TOKENS = ("spark", "join", "window")
 
 
@@ -444,4 +534,5 @@ KG_QUERIES = {
     "kg_doc_concept_summary": q_doc_concept_summary,
     "kg_resume_anti_join": q_resume_anti_join,
     "kg_text_search": q_text_search,
+    "kg_stream_mentions": q_stream_mentions,
 }

@@ -1038,6 +1038,18 @@ _TEXTSTATS_SUITE = [
 q_textstats_suite = _suite_query(_TEXTSTATS_SUITE)
 O_TEXTSTATS_SUITE = _suite_oracle(_TEXTSTATS_SUITE)
 
+#: simhash signatures + near-dup pairs folded into one driver slot
+#: (round 6: their two windows paid for kg_stream_mentions — the
+#: streaming drain's CORRECTNESS row; both members still swept
+#: individually by check_gate via TEXT_MICRO_*)
+_SIMHASH_SUITE = [
+    ("simhash_sigs", q_simhash_sigs, _o_simhash_sigs(), ["doc_id", "simhash"]),
+    ("simhash_dups", q_simhash_dups, _o_simhash_dups(), ["id_a", "id_b", "hamming"]),
+]
+
+q_simhash_suite = _suite_query(_SIMHASH_SUITE)
+O_SIMHASH_SUITE = _suite_oracle(_SIMHASH_SUITE)
+
 #: the folded micro-gates, still individually swept by check_gate.py
 #: (sampling gates ride gate_curation's td_sampling_suite since round 5
 #: — their window slots went to the url/curation suites)
@@ -1049,6 +1061,8 @@ TEXT_MICRO_QUERIES = {
     "td_stratified_sample": q_stratified_sample,
     "td_kmv_distinct": q_kmv_distinct,
     "td_hash_sample": q_hash_sample,
+    "td_simhash_sigs": q_simhash_sigs,
+    "td_simhash_dups": q_simhash_dups,
 }
 
 TEXT_MICRO_ORACLES = {
@@ -1059,6 +1073,8 @@ TEXT_MICRO_ORACLES = {
     "td_stratified_sample": _o_stratified_sample(),
     "td_kmv_distinct": _o_kmv_distinct(),
     "td_hash_sample": _o_hash_sample(),
+    "td_simhash_sigs": _o_simhash_sigs(),
+    "td_simhash_dups": _o_simhash_dups(),
 }
 
 
@@ -1070,8 +1086,7 @@ TEXT_QUERIES = {
     "td_dedup_rate": q_dedup_rate,
     "td_ann_cosine_topk": q_ann_cosine_topk,
     "td_minhash_dups": q_minhash_dups,
-    "td_simhash_sigs": q_simhash_sigs,
-    "td_simhash_dups": q_simhash_dups,
+    "td_simhash_suite": q_simhash_suite,
     "td_rhp_ann_topk": q_rhp_ann,
     "td_ivf_ann_topk": q_ivf_ann,
     "td_emb_near_dup": q_emb_near_dup,
@@ -1093,8 +1108,7 @@ TEXT_ORACLES = {
     # buckets, bucket cap, candidate pairs, verify) is replicated in SQL,
     # so the hash compare pins candidate generation, not just the verdict
     "td_minhash_dups": _o_minhash_dups(),
-    "td_simhash_sigs": _o_simhash_sigs(),
-    "td_simhash_dups": _o_simhash_dups(),
+    "td_simhash_suite": O_SIMHASH_SUITE,
     "td_rhp_ann_topk": _o_rhp_ann(),
     "td_ivf_ann_topk": _o_ivf_ann(),
     "td_emb_near_dup": _o_emb_near_dup(),

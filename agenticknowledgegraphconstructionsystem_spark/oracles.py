@@ -317,6 +317,14 @@ KG_ORACLES: dict[str, str] = {
     + """
 SELECT CAST(doc_id AS BIGINT) AS doc_id, name, concept_type, relevance_pct, pos, context
 FROM mentions""",
+    # the streaming drain is transport, not semantics: the oracle is the
+    # batch mentions CTE restricted to the gate's doc window — any
+    # duplicate/lost/corrupted row in the two-drain checkpointed sink
+    # breaks the hash (gate.q_stream_mentions)
+    "kg_stream_mentions": with_kg()
+    + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, name, concept_type, relevance_pct, pos, context
+FROM mentions WHERE doc_id < {S.STREAM_GATE_DOCS}""",
     "kg_entities": with_kg(entities_cte(), first_context_cte())
     + """
 SELECT e.name, e.concept_type, e.mention_count, e.sum_relevance_pct,

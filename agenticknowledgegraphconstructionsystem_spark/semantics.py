@@ -148,6 +148,14 @@ DUP_SPAN_MAX_PCT = 20
 #: paragraph-level dedup.
 BOILERPLATE_MIN_DOCS = 5
 
+#: docs (by doc_id < bound) that travel through the REAL Structured
+#: Streaming path (file source → mention detection → availableNow parquet
+#: sink, two drains over one checkpoint) in the kg_stream_mentions gate —
+#: shared by gate.py and the DuckDB oracle's WHERE clause, and bounded so
+#: the driver-side fixture work stays O(1) in corpus size at any sf (the
+#: WARC_GATE_DOCS discipline).
+STREAM_GATE_DOCS = 200
+
 #: PII redaction patterns (operators/pii.py + its DuckDB twin), applied
 #: in THIS order (SSN before phone so d{3}-d{2}-d{4} isn't phone-eaten;
 #: IPv4 last).  Restricted to the Java-regex ∩ RE2 common subset (no

@@ -79,7 +79,7 @@ def main() -> None:
         "kg_triangles": KG_QUERIES["kg_triangles"],
         # training-data ops
         "td_minhash_dups": TEXT_QUERIES["td_minhash_dups"],
-        "td_simhash_sigs": TEXT_QUERIES["td_simhash_sigs"],
+        "td_simhash_sigs": TEXT_MICRO_QUERIES["td_simhash_sigs"],
         "td_ann_cosine_topk": TEXT_QUERIES["td_ann_cosine_topk"],
         "td_emb_near_dup": TEXT_QUERIES["td_emb_near_dup"],
         "td_winnow_dups": TEXT_QUERIES["td_winnow_dups"],

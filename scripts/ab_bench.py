@@ -56,6 +56,20 @@ import __spark_entry__ as E
 spark = get_spark(app_name="ab-bench", cores=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 qs = E.queries()
+# micro-gates folded into suites (e.g. td_simhash_sigs since round 6) stay
+# A/B-addressable: merge the sweep registries without clobbering queries()
+try:
+    from agenticknowledgegraphconstructionsystem_spark.gate_textdata import TEXT_MICRO_QUERIES
+    for k, v in TEXT_MICRO_QUERIES.items():
+        qs.setdefault(k, v)
+except Exception:
+    pass
+try:
+    from agenticknowledgegraphconstructionsystem_spark.gate_curation import CURATION_MICRO_QUERIES
+    for k, v in CURATION_MICRO_QUERIES.items():
+        qs.setdefault(k, v)
+except Exception:
+    pass
 spark.read.parquet(sf_dir + "/customer.parquet").count()  # JVM warm-up
 walls = {}
 for name in names:

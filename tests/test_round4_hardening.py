@@ -29,7 +29,11 @@ def test_driver_surface_is_exactly_50_with_all_td_gates():
     assert len(names) == 50, names
     assert set(names) == set(os_)
     td = [n for n in names if n.startswith("td_")]
-    assert len(td) == 19, td
+    # round 6: simhash sigs+dups folded into td_simhash_suite, their freed
+    # slot carries kg_stream_mentions (the streaming drain's driver row)
+    assert len(td) == 18, td
+    kg = [n for n in names if n.startswith("kg_")]
+    assert "kg_stream_mentions" in kg and len(kg) == 20, kg
     # kg + td both fully inside the window even if it shrank to 38
     assert all(not n.startswith("rel_") for n in names[:38])
 
