@@ -62,6 +62,13 @@ def probe_image_dims(payload: bytes) -> tuple[str, int, int]:
             (seglen,) = struct.unpack_from(">H", payload, pos + 2)
             pos += 2 + seglen
         raise ValueError("JPEG without an SOF frame header")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import webp_dimensions
+
+        dims = webp_dimensions(payload)
+        if dims is not None:
+            return "webp", dims[0], dims[1]
+        raise ValueError("WebP without a parseable size header")
     raise ValueError("unrecognized image payload")
 
 

@@ -129,6 +129,46 @@ def representative_band_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+#: bucket-size threshold for ``mode='auto'``: LSH buckets with at most
+#: this many members verify ALL in-bucket pairs (exact pair semantics);
+#: larger buckets switch to hub-and-spoke representative pairing (O(B)
+#: candidate rows).  Sized from the measured probes: organic alias
+#: families are small (the sf gates' largest bucket is ≪ 32, so the
+#: kg_canonicalize-style answer is byte-identical under auto), while the
+#: 100-member dense-family probe recovered identical partitions through
+#: the star path (P/R 1.0, PLANS.md round 5) — so anything the threshold
+#: diverts is exactly the regime the star path is proven on.
+DEFAULT_REP_BUCKET = 32
+
+
+def auto_band_pairs(
+    signatures: DataFrame, rep_bucket: int = DEFAULT_REP_BUCKET
+) -> DataFrame:
+    """Per-bucket strategy selection (``mode='auto'``): one bucket-size
+    aggregate splits the signature table; small buckets emit the exact
+    all-pair candidates, oversize buckets emit representative stars.
+    A web-scale vocabulary hits mega-families (boilerplate names, numeric
+    variants) without giving up exact semantics everywhere else — the
+    per-bucket analog of AQE's skew-join split.  Pairs from both branches
+    come out canonically ordered (name_a < name_b for the pair branch;
+    rep = min name for the star branch), then union-distinct."""
+    sizes = signatures.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("_sz")
+    )
+    sig = signatures.join(sizes, ["band_id", "band_hash"])
+    small = sig.where(F.col("_sz") <= rep_bucket).drop("_sz")
+    a = small.select(F.col("name").alias("name_a"), "band_id", "band_hash")
+    b = small.select(F.col("name").alias("name_b"), "band_id", "band_hash")
+    exact_pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+    big = sig.where(F.col("_sz") > rep_bucket).drop("_sz")
+    star_pairs = representative_band_pairs(big)
+    return exact_pairs.unionByName(star_pairs).distinct()
+
+
 def tfidf_cosine_edges(
     entities: DataFrame, threshold: float = 0.5, num_hashes: int = 16
 ) -> DataFrame:
@@ -208,6 +248,11 @@ def similarity_edges(
     bucket representative only (:func:`representative_band_pairs`) — O(f)
     edges per family, transitivity restored by connected components; use
     for web-scale vocabularies where mega-families dominate.
+    mode='auto' (lsh blocking only): per-bucket selection — buckets of at
+    most :data:`DEFAULT_REP_BUCKET` members keep exact all-pair
+    verification, larger buckets switch to the representative star
+    (:func:`auto_band_pairs`) — the production default shape for dirty
+    web vocabularies.
 
     ``max_df`` (exact path only) is the hot-shingle cut: a shingle shared
     by df names emits df² candidate rows, and at a 10^6-name vocabulary
@@ -238,6 +283,8 @@ def similarity_edges(
         )
     elif mode == "representative":
         cand = representative_band_pairs(minhash_signatures(sh, num_hashes))
+    elif mode == "auto":
+        cand = auto_band_pairs(minhash_signatures(sh, num_hashes))
     else:
         cand = candidate_pairs(minhash_signatures(sh, num_hashes))
     sh_b = sh.select(
@@ -397,9 +444,11 @@ def canonicalize(
     'tfidf_cosine' (idf-weighted, favors matches on rare shingles);
     blocking: see :func:`similarity_edges`; max_iter: CC round bound
     (pointer jumping makes 20 cover diameter ~2^20 — see
-    :func:`connected_components`); mode: 'all_pairs' (exact) or
+    :func:`connected_components`); mode: 'all_pairs' (exact),
     'representative' (linear-cost dense-family escape hatch — see
-    :func:`representative_band_pairs`)."""
+    :func:`representative_band_pairs`), or 'auto' (exact below
+    DEFAULT_REP_BUCKET members per LSH bucket, star above — see
+    :func:`auto_band_pairs`)."""
     if scorer == "tfidf_cosine":
         edges = tfidf_cosine_edges(entities, threshold).withColumnRenamed(
             "cosine", "jaccard"

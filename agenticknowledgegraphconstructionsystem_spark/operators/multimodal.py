@@ -8,11 +8,12 @@ has two honest tiers:
   stdlib + numpy alone — 24-bit BI_RGB BMP (:func:`decode_bmp`), 8-bit
   RGB/RGBA non-interlaced PNG (:func:`decode_png` — DEFLATE is stdlib
   zlib), baseline JPEG (functions/jpeg.py — full sequential-DCT decode:
-  Huffman → dequant → IDCT → chroma upsample → YCbCr; the two formats
-  web crawls are actually full of decode for real), 16-bit PCM WAV
-  (:func:`decode_wav`) and Y4M video (:func:`decode_y4m`) —
-  pixel/sample/frame values pytest-pinned — and raises
-  ``NotImplementedError`` for anything else (WebP/MP3/H.264/...
+  Huffman → dequant → IDCT → chroma upsample → YCbCr), lossless WebP
+  (functions/vp8l.py — full VP8L: all four transforms, color cache,
+  meta prefix codes, 2-D LZ77; differentially fuzzed against libwebp),
+  16-bit PCM WAV (:func:`decode_wav`) and Y4M video (:func:`decode_y4m`)
+  — pixel/sample/frame values pytest-pinned — and raises
+  ``NotImplementedError`` for anything else (lossy WebP/MP3/H.264/...
   need libvips/librosa/ffmpeg, which this container does not ship).
 * ``decode_images(..., fake=True)`` substitutes a deterministic
   content-hash "decode" so the pipeline shape is exercised end to end on
@@ -316,11 +317,12 @@ def decode_image_any(
     payload: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Magic-byte dispatch over the real-decode image tier: BMP
-    (:func:`decode_bmp`), PNG (:func:`decode_png`) or baseline JPEG
-    (functions/jpeg.py) → (w, h, rows).  Raises ValueError for anything
-    else (WebP/TIFF/... stay honest NotImplementedError territory in the
-    mapInPandas wrappers); progressive JPEG raises NotImplementedError
-    from the codec itself."""
+    (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline JPEG
+    (functions/jpeg.py) or lossless WebP (functions/vp8l.py) →
+    (w, h, rows).  Raises ValueError for anything else (TIFF/GIF/... stay
+    honest NotImplementedError territory in the mapInPandas wrappers);
+    progressive JPEG and lossy/animated WebP raise NotImplementedError
+    from their codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -329,7 +331,11 @@ def decode_image_any(
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("not a BMP, PNG, or JPEG payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..functions.vp8l import decode_webp
+
+        return decode_webp(payload)
+    raise ValueError("not a BMP, PNG, JPEG, or WebP payload")
 
 
 def _bmp_features(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
@@ -360,10 +366,10 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
 
     ``fake=False`` really decodes uncompressed 24-bit BMP payloads
     (stdlib ``struct``, :func:`decode_bmp`), 8-bit RGB/RGBA
-    non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`) and
-    baseline JPEG (functions/jpeg.py), and raises
-    ``NotImplementedError`` for other formats (WebP/TIFF need
-    PIL/libvips this container does not ship)."""
+    non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), baseline
+    JPEG (functions/jpeg.py) and lossless WebP (functions/vp8l.py), and
+    raises ``NotImplementedError`` for other formats (lossy WebP/TIFF
+    need PIL/libvips this container does not ship)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,8 +386,9 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                     except ValueError as e:
                         raise NotImplementedError(
                             "real decode supports uncompressed 24-bit BMP, "
-                            "8-bit RGB/RGBA PNG, and baseline JPEG (stdlib+"
-                            "numpy); other formats need PIL/libvips — "
+                            "8-bit RGB/RGBA PNG, baseline JPEG, and "
+                            "lossless WebP (stdlib+numpy); other formats "
+                            "need PIL/libvips — "
                             f"payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(

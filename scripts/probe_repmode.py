@@ -1,5 +1,5 @@
 """Dense-alias-family probe: canonicalize mode='all_pairs' vs
-mode='representative' at 100x vocabulary.
+mode='representative' vs mode='auto' at 100x vocabulary.
 
 Reproduces the PLANS.md round-4 probe (2,200 names: 22 bases x 100
 near-identical variants — every name inside a 100-member family, the
@@ -66,10 +66,10 @@ def main() -> None:
             comp.setdefault(r["component"], set()).add(r["name"])
         return wall, comp
 
-    walls = {"all_pairs": [], "representative": []}
+    walls = {"all_pairs": [], "representative": [], "auto": []}
     comps = {}
     for _ in range(args.repeats):  # interleaved — same noise discipline as ab_bench
-        for mode in ("all_pairs", "representative"):
+        for mode in ("all_pairs", "representative", "auto"):
             w, c = run(mode)
             walls[mode].append(round(w, 2))
             comps[mode] = c
@@ -82,10 +82,12 @@ def main() -> None:
         return out
 
     p_exact, p_rep = pairs(comps["all_pairs"]), pairs(comps["representative"])
+    p_auto = pairs(comps["auto"])
     inter = len(p_exact & p_rep)
+    inter_auto = len(p_exact & p_auto)
     edge_counts = {
         mode: similarity_edges(ents, mode=mode).count()
-        for mode in ("all_pairs", "representative")
+        for mode in ("all_pairs", "representative", "auto")
     }
     out = {
         "n_names": len(names),
@@ -93,12 +95,16 @@ def main() -> None:
         "wall_sec": {m: min(w) for m, w in walls.items()},
         "walls_raw": walls,
         "verified_edges": edge_counts,
-        "intra_family_pairs": {"all_pairs": len(p_exact), "representative": len(p_rep)},
+        "intra_family_pairs": {"all_pairs": len(p_exact), "representative": len(p_rep), "auto": len(p_auto)},
         "pair_precision_rep": round(inter / len(p_rep), 6) if p_rep else 1.0,
         "pair_recall_rep": round(inter / len(p_exact), 6) if p_exact else 1.0,
+        "pair_precision_auto": round(inter_auto / len(p_auto), 6) if p_auto else 1.0,
+        "pair_recall_auto": round(inter_auto / len(p_exact), 6) if p_exact else 1.0,
         "families_equal": comps["all_pairs"].keys() is not None
         and {frozenset(v) for v in comps["all_pairs"].values()}
         == {frozenset(v) for v in comps["representative"].values()},
+        "families_equal_auto": {frozenset(v) for v in comps["all_pairs"].values()}
+        == {frozenset(v) for v in comps["auto"].values()},
     }
     print(json.dumps(out))
     spark.stop()

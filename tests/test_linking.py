@@ -130,6 +130,51 @@ def test_representative_mode_refines_and_recovers_families(spark):
     assert cand.count() <= ents.count() * 16  # <= (B-1) summed per band
 
 
+def test_auto_mode_exact_below_threshold_star_above(spark):
+    """mode='auto' (per-bucket strategy selection): sub-threshold buckets
+    keep the exact all-pair candidate set, oversize buckets divert to the
+    representative star, and on an alias/decoy fixture with one
+    above-threshold dense family the recovered partitions equal
+    all_pairs' — exact where it is cheap, linear where it matters."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+        DEFAULT_REP_BUCKET,
+        auto_band_pairs,
+        candidate_pairs,
+        minhash_signatures,
+        name_shingles,
+    )
+
+    small_names = [
+        "spark", "sparks", "table scan", "table-scan", "hash join",
+        "hash-join", "hashjoin", "unrelated thing", "sprk", "tbl scan",
+    ]
+    dense = [f"gradient boosting v{i}" for i in range(DEFAULT_REP_BUCKET + 28)]
+    ents = _ents(spark, [(n, 1) for n in small_names + dense])
+
+    exact = _partition(canonicalize(ents, mode="all_pairs").collect())
+    auto = _partition(canonicalize(ents, mode="auto").collect())
+    # refinement invariant (edges still exactly verified) + full recovery
+    for fam in auto:
+        assert any(fam <= ex for ex in exact), f"over-merge: {fam}"
+    assert auto == exact
+
+    # candidate economy: auto emits fewer rows than all-pairs on the dense
+    # fixture (the 60-member family alone is ~1770 pairs vs ~59 star rows)
+    sigs = minhash_signatures(name_shingles(ents))
+    n_auto = auto_band_pairs(sigs).count()
+    n_all = candidate_pairs(sigs, max_bucket=None).count()
+    assert n_auto < n_all
+
+    # with NO oversize bucket, auto must equal the exact candidate set —
+    # the sub-threshold path is byte-identical to all_pairs, not merely
+    # equivalent after verification
+    small_ents = _ents(spark, [(n, 1) for n in small_names])
+    ssigs = minhash_signatures(name_shingles(small_ents))
+    got = sorted(map(tuple, auto_band_pairs(ssigs).collect()))
+    want = sorted(map(tuple, candidate_pairs(ssigs, max_bucket=None).collect()))
+    assert got == want
+
+
 def test_repoint_mentions(spark):
     ents = _ents(spark, [("spark", 100), ("sparks", 1)])
     mapping = canonicalize(ents)

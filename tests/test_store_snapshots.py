@@ -66,6 +66,19 @@ def test_append_to_partitioned_stage_raises(spark, tmp_path):
     assert len(_rows(store.read("t"))) == 10
 
 
+def test_iceberg_ddl_parses(spark):
+    """The real-cluster DDL templates (S13) cannot EXECUTE in this sandbox
+    (no Iceberg jars), but they must always PARSE: run each through
+    Spark's SQL parser so syntax drift fails fast instead of rotting
+    until someone deploys on a real catalog."""
+    from agenticknowledgegraphconstructionsystem_spark.sources.io import ICEBERG_DDL
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for name, ddl in ICEBERG_DDL.items():
+        plan = parser.parsePlan(ddl)  # ParseException on any syntax error
+        assert plan is not None, name
+
+
 def test_rollback_unknown_snapshot_raises(spark, tmp_path):
     store = StageStore(spark, str(tmp_path / "st"))
     store.commit("t", spark.range(3), run_id="r1")
