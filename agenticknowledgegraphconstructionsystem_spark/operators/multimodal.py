@@ -418,10 +418,11 @@ def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, fake: bool = True
 ) -> DataFrame:
     """mapInPandas image resize.  ``fake=False`` really resizes
-    uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, and baseline JPEG
-    payloads — :func:`decode_image_any` → nearest-neighbor resample →
-    re-encode in the SAME container (BMP→BMP, PNG→PNG, JPEG→JPEG — the
-    JPEG leg is lossy twice, like any thumbnailer), all stdlib+numpy —
+    uncompressed 24-bit BMP, 8-bit RGB/RGBA PNG, baseline JPEG, and
+    lossless-WebP payloads — :func:`decode_image_any` → nearest-neighbor
+    resample → re-encode in the SAME container (BMP→BMP, PNG→PNG,
+    JPEG→JPEG — the JPEG leg is lossy twice, like any thumbnailer;
+    WebP→WebP via the literal-only VP8L encoder), all stdlib+numpy —
     and raises ``NotImplementedError`` for other formats.  The fake path
     emits a deterministic pseudo-thumbnail (content digest tiled to
     width·height bytes) so batch shape, schema, and payload-size
@@ -432,6 +433,7 @@ def resize_images(
     def _resize_bmp(p: bytes) -> bytes:
         is_png = p[:8] == _PNG_SIG
         is_jpeg = p[:3] == b"\xff\xd8\xff"
+        is_webp = p[:4] == b"RIFF" and p[8:12] == b"WEBP"
         w0, h0, rows = decode_image_any(p)
         out_rows = [
             [rows[y * h0 // height][x * w0 // width] for x in range(width)]
@@ -443,6 +445,12 @@ def resize_images(
             from ..functions.jpeg import encode_jpeg
 
             return encode_jpeg(out_rows)
+        if is_webp:
+            from ..functions.vp8l import encode_webp_lossless
+
+            return encode_webp_lossless(
+                [[(r, g, b, 255) for r, g, b in row] for row in out_rows]
+            )
         return encode_bmp(out_rows)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -71,6 +71,7 @@ class Pipeline:
         run_id: str = "run0",
         link: bool = True,
         link_threshold: float = 0.5,
+        link_mode: str = "all_pairs",
         dedup_docs: bool = False,
         dedup_mode: str | None = None,
         dedup_threshold: float = 0.5,
@@ -134,8 +135,14 @@ class Pipeline:
         self.spark = spark
         self.store = StageStore(spark, out_dir)
         self.run_id = run_id
+        if link_mode not in ("all_pairs", "representative", "auto"):
+            raise ValueError(f"unknown link_mode: {link_mode!r}")
         self.link = link
         self.link_threshold = link_threshold
+        # 'auto' = per-LSH-bucket strategy selection (linking.auto_band_pairs)
+        # — the web-scale default shape; 'all_pairs' keeps the exact gate
+        # semantics and stays the constructor default
+        self.link_mode = link_mode
         self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
         self.dedup_threshold = dedup_threshold
         self.graph_metrics = graph_metrics
@@ -453,6 +460,7 @@ class Pipeline:
                 lambda: canonicalize(
                     raw_entities.select("name", "mention_count"),
                     threshold=self.link_threshold,
+                    mode=self.link_mode,
                 ),
             )
             # merged surface forms leave duplicate (url, name) rows —

@@ -3,6 +3,7 @@ canonicalization."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
@@ -173,6 +174,14 @@ def test_auto_mode_exact_below_threshold_star_above(spark):
     got = sorted(map(tuple, auto_band_pairs(ssigs).collect()))
     want = sorted(map(tuple, candidate_pairs(ssigs, max_bucket=None).collect()))
     assert got == want
+
+
+def test_pipeline_link_mode_validated(spark, tmp_path):
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import Pipeline
+
+    with pytest.raises(ValueError, match="link_mode"):
+        Pipeline(spark, str(tmp_path / "kg"), link_mode="bogus")
+    Pipeline(spark, str(tmp_path / "kg2"), link_mode="auto")  # accepted
 
 
 def test_repoint_mentions(spark):

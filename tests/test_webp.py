@@ -253,6 +253,28 @@ def test_differential_fuzz_against_libwebp():
         assert mine == ref, f"pixel divergence vs libwebp on case {i}"
 
 
+def test_webp_resize_roundtrips_same_container(spark):
+    from pyspark.sql import Row
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    img = [
+        [((x * 50) % 256, (y * 80) % 256, 7, 255) for x in range(8)]
+        for y in range(8)
+    ]
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", mime="image/webp",
+             payload=encode_webp_lossless(img), meta="{}")]
+    )
+    out = resize_images(media, width=4, height=4, fake=False).collect()[0]
+    w, h, rows = decode_webp(bytes(out["payload"]))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: output (x,y) samples input (x*8//4, y*8//4)
+    assert rows[1][2] == tuple(img[2][4][:3])
+
+
 def test_webp_through_decode_images_mapinpandas(spark):
     """Spark wiring: a lossless-WebP payload rides decode_images
     (fake=False) through mapInPandas and lands real channel means."""
