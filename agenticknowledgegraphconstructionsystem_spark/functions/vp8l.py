@@ -258,18 +258,6 @@ def _plane_to_distance(plane_code: int, width: int) -> int:
 _ALPHABET_EXTRA = 24  # length codes appended to the green alphabet
 
 
-def _decode_entropy_image(
-    br: _BitReader, width: int, height: int, is_level0: bool
-) -> list[int]:
-    """→ flat ARGB uint32 list of width*height pixels.  Recursion
-    (entropy image / transform data / palette) passes is_level0=False:
-    no transforms, no meta prefix codes — but a color cache is legal at
-    every level."""
-    if is_level0:
-        raise AssertionError("level0 goes through _decode_vp8l_stream")
-    return _decode_pixels(br, width, height, meta=None, is_level0=False)
-
-
 def _decode_pixels(
     br: _BitReader,
     width: int,
@@ -277,6 +265,10 @@ def _decode_pixels(
     meta: tuple[list[int], int, int] | None,
     is_level0: bool,
 ) -> list[int]:
+    """→ flat ARGB uint32 list of width*height pixels (spec §5.2.3) —
+    shared by the ARGB image, transform data, entropy image, and the
+    palette.  Recursion passes is_level0=False: no transforms, no meta
+    prefix codes — but a color cache is legal at every level."""
     # color cache (spec §4.3)
     cache_bits = 0
     if br.read(1):

@@ -5,6 +5,8 @@ targeted domains."""
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -59,6 +61,7 @@ def test_assembly_stage_matches_operator_and_resumes(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_assembly_mixture_keeps_only_targeted_domains(spark):
     out = tempfile.mkdtemp(prefix="kg_asm_mix_")
     try:
@@ -92,6 +95,7 @@ def test_assembly_mixture_keeps_only_targeted_domains(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_assembly_partitioned_by_shard_and_prunes(spark):
     """The assembly snapshot is Hive-partitioned by shard (one directory
     per output stream), the read path restores the declared column order

@@ -6,6 +6,8 @@ stage, and matches the un-curated pipeline on the clean remainder."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -61,6 +63,7 @@ def _bench(spark):
     return spark.createDataFrame([Row(bench_id=1, text=_EVAL)])
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_curate_stage_drops_and_redacts(spark, tmp_path):
     pages = _corpus(spark)
     p = Pipeline(
@@ -97,6 +100,7 @@ def test_curate_stage_drops_and_redacts(spark, tmp_path):
     assert p2._recomputed == []
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_curate_clean_corpus_is_a_noop_vs_uncurated(spark, tmp_path):
     """On the synthetic corpus alone (no planted spam/PII/leaks) curation
     keeps every doc and the downstream triple set is identical to the

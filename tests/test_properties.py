@@ -3,6 +3,8 @@ coverage for pairwise shared-concepts and embedding near-dup."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from hypothesis import given, settings
@@ -106,6 +108,7 @@ def test_pairwise_shared_concepts_matches_brute_force(spark):
     assert got[("u1", "u2")] == (2, 1, 0, 1)
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_pairwise_df_cap_excludes_stop_concepts(spark):
     from agenticknowledgegraphconstructionsystem_spark.operators.relationships import (
         pairwise_shared_concepts,

@@ -72,6 +72,7 @@ def test_dropped_buckets_are_auditable(spark):
     assert all(r["n_members"] == 60 for r in dropped)
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_linking_candidate_pairs_capped(spark):
     """A degenerate name-LSH bucket (40 members) must not emit its 780
     pairs; pairs from healthy buckets survive."""
@@ -556,6 +557,7 @@ def test_streaming_dedup_drops_duplicates(spark, tmp_path):
         assert by_id[i]["value"] == float(i)
 
 
+@pytest.mark.slow  # round-6 fast-gate rebalance: family keeps a fast representative
 def test_streaming_fp_collisions(spark, tmp_path):
     """Stateful streaming near-dup: fingerprint state persists across
     micro-batches — a later near-copy collides against the batch-1

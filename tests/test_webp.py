@@ -160,6 +160,16 @@ def test_lossy_and_animated_raise():
         decode_webp(b"not a webp")
 
 
+def test_vp8x_canvas_dimensions():
+    """Extended-format header: the catalog must read the VP8X 24-bit
+    canvas size without decoding (and the chunk walk must keep looking
+    past VP8X for the VP8L payload)."""
+    body = b"\x00" + b"\x00\x00\x00" + struct.pack("<I", 639)[:3] + struct.pack("<I", 359)[:3]
+    chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert webp_dimensions(payload) == (640, 360)
+
+
 def test_probe_image_dims_webp():
     from agenticknowledgegraphconstructionsystem_spark.functions.mediameta import (
         probe_image_dims,
