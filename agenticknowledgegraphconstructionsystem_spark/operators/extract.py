@@ -22,10 +22,23 @@ from pyspark.sql.types import StringType
 from ..semantics import extract_text_from_html
 
 
+def _extract_any(payload) -> str | None:
+    """S7 dispatch on the payload magic: crawled ``%PDF-`` bodies go
+    through the stdlib PDF extractor (functions/pdf.py — the reference's
+    literal PyMuPDF first mile), everything else through the HTML
+    extractor.  Both share semantics.assemble_page_texts, so the
+    ``--- Page N ---`` assembly is byte-identical across containers."""
+    if payload is not None and bytes(payload[:5]) == b"%PDF-":
+        from ..functions.pdf import extract_pdf_text
+
+        return extract_pdf_text(bytes(payload))
+    return extract_text_from_html(payload)
+
+
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Arrow-batched S7. Pure function of the input bytes — deterministic."""
-    return html.map(extract_text_from_html)
+    return html.map(_extract_any)
 
 
 def word_count_col(text: Column) -> Column:

@@ -258,6 +258,20 @@ _SECTION_RE = re.compile(
 _TAG_RE = re.compile(rb"<[^>]+>")
 
 
+def assemble_page_texts(pages: list[str]) -> str | None:
+    """The reference's S7 page-assembly invariant, factored out so EVERY
+    container format shares it byte-for-byte: per page emit
+    ``"\\n--- Page N ---\\n" + text``, join with ``""``, one outer
+    ``.strip()``, ``None`` when nothing remains
+    (extract_and_populate.py:51-65)."""
+    parts: list[str] = []
+    for page_num, text in enumerate(pages, 1):
+        parts.append(f"\n--- Page {page_num} ---\n")
+        parts.append(text)
+    extracted = "".join(parts).strip()
+    return extracted if extracted else None
+
+
 def extract_text_from_html(html: bytes | None) -> str | None:
     """Reference extractor semantics over HTML pages.
 
@@ -266,7 +280,9 @@ def extract_text_from_html(html: bytes | None) -> str | None:
     (extract_and_populate.py:51-65).  Here a "page" is one ``<section>``
     element of the crawled HTML; boilerplate outside sections (<nav>,
     <footer>, …) is dropped.  Returns None when nothing remains — mirroring
-    the reference's ``return extracted if extracted else None``.
+    the reference's ``return extracted if extracted else None``.  (Crawled
+    PDF payloads go through the same assembly via functions/pdf.py —
+    :func:`assemble_page_texts` is the shared invariant.)
 
     MUST stay a pure function of the input bytes: the per-url
     byte-identical invariant (BASELINE.json input_hint) is asserted against
@@ -274,14 +290,12 @@ def extract_text_from_html(html: bytes | None) -> str | None:
     """
     if html is None:
         return None
-    parts: list[str] = []
-    for page_num, m in enumerate(_SECTION_RE.finditer(html), 1):
-        inner = _TAG_RE.sub(b" ", m.group(1))
-        text = inner.decode("utf-8", errors="replace")
-        parts.append(f"\n--- Page {page_num} ---\n")
-        parts.append(text)
-    extracted = "".join(parts).strip()
-    return extracted if extracted else None
+    return assemble_page_texts(
+        [
+            _TAG_RE.sub(b" ", m.group(1)).decode("utf-8", errors="replace")
+            for m in _SECTION_RE.finditer(html)
+        ]
+    )
 
 
 def extraction_stats(text: str | None) -> dict:
