@@ -12,6 +12,11 @@ parses WARC/1.x with the stdlib alone and exposes it as a Spark source:
 * :func:`read_warc_pages` — ``binaryFile`` scan → ``mapInPandas`` parse
   → the canonical pages schema (url, warc_ts, html, text=NULL, lang=NULL),
   ready for ``operators.extract.extract_docs``.
+* :func:`parse_wet` / :func:`read_wet_pages` — Common Crawl's WET
+  sidecar files (``conversion`` records carrying the ALREADY-extracted
+  plain text); lands with ``text`` filled, so extract_docs' P1 content
+  fallback keeps it verbatim — the fast first mile most text pipelines
+  actually start from.
 
 Scale shape: one WARC file = one ``binaryFile`` row = one parse call, so
 parallelism follows the file count (Common Crawl segments are ~1 GB —
@@ -65,15 +70,13 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
-    """WARC/1.x bytes → [(target_uri, warc_date, http_payload)] for every
-    ``response`` record.  The HTTP response header block inside the body
-    is stripped (payload = what follows the first CRLFCRLF); records
-    without one (non-HTTP captures) keep the full body.  Raises
-    ValueError on malformed framing."""
+def _walk_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """The shared WARC/1.x framing walk: yields (headers, body) per
+    record.  Raises ValueError on malformed framing — the contract both
+    :func:`parse_warc` (response records) and :func:`parse_wet`
+    (conversion records) inherit."""
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
-    records: list[tuple[str, str, bytes]] = []
     pos = 0
     while pos < len(data):
         # skip inter-record blank lines
@@ -94,14 +97,42 @@ def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
         body = data[he + 4 : he + 4 + length]
         if len(body) < length:
             raise ValueError("truncated WARC record body")
+        yield headers, body
+        pos = he + 4 + length
+
+
+def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
+    """WARC/1.x bytes → [(target_uri, warc_date, http_payload)] for every
+    ``response`` record.  The HTTP response header block inside the body
+    is stripped (payload = what follows the first CRLFCRLF); records
+    without one (non-HTTP captures) keep the full body.  Raises
+    ValueError on malformed framing."""
+    records: list[tuple[str, str, bytes]] = []
+    for headers, body in _walk_records(data):
         if headers.get("warc-type") == "response":
             url = headers.get("warc-target-uri", "")
             date = headers.get("warc-date", "")
             hb = body.find(b"\r\n\r\n")
             payload = body[hb + 4 :] if hb >= 0 else body
             records.append((url, date, payload))
-        pos = he + 4 + length
     return records
+
+
+def parse_wet(data: bytes) -> list[tuple[str, str, str]]:
+    """Common-Crawl WET bytes → [(target_uri, warc_date, text)] for every
+    ``conversion`` record.  WET files are WARC/1.x whose conversion-record
+    bodies are the ALREADY-EXTRACTED plain UTF-8 text of the page (no
+    HTTP header block) — Common Crawl publishes them alongside the raw
+    WARCs, and most text pipelines start here instead of re-extracting."""
+    return [
+        (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            body.decode("utf-8", errors="replace"),
+        )
+        for headers, body in _walk_records(data)
+        if headers.get("warc-type") == "conversion"
+    ]
 
 
 def write_warc(records: list[tuple[str, str, bytes]]) -> bytes:
@@ -118,6 +149,24 @@ def write_warc(records: list[tuple[str, str, bytes]]) -> bytes:
             f"Content-Length: {len(http)}\r\n"
         ).encode()
         out.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+    return b"".join(out)
+
+
+def write_wet(records: list[tuple[str, str, str]]) -> bytes:
+    """Inverse of :func:`parse_wet` (conversion records; body = UTF-8
+    text, no HTTP block) — test-fixture writer."""
+    out = []
+    for url, date, text in records:
+        body = text.encode("utf-8")
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n"
+        ).encode()
+        out.append(hdr + b"\r\n" + body + b"\r\n\r\n")
     return b"".join(out)
 
 
@@ -149,6 +198,29 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                 for url, date, payload in parse_warc(bytes(content)):
                     rows.append(
                         (url, _parse_warc_date(date), payload, None, None)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return files.mapInPandas(fn, PAGES_SCHEMA)
+
+
+def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WET file(s) → the canonical pages DataFrame with the ``text``
+    column FILLED (the pre-extracted fast path: extract_docs' P1 content
+    fallback keeps it verbatim and never pays the html parse) and
+    html=NULL.  Same binaryFile → mapInPandas scale shape as
+    :func:`read_warc_pages` — parallelism follows the file count."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, date, text in parse_wet(bytes(content)):
+                    rows.append(
+                        (url, _parse_warc_date(date), None, text, None)
                     )
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]

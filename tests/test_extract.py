@@ -106,6 +106,50 @@ def test_read_warc_pages_feeds_the_pipeline(spark, tmp_path):
     assert pages.where("warc_ts IS NULL").count() == 0
 
 
+def test_read_wet_pages_pre_extracted_fast_path(spark, tmp_path):
+    """WET file (Common Crawl's conversion records = already-extracted
+    text) → pages with text FILLED → extract_docs keeps it VERBATIM via
+    the P1 content fallback (no html parse, no marker assembly) and a
+    mixed WARC+WET dir only surfaces each record type through its own
+    reader."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.extract import (
+        extract_docs,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.warc import (
+        parse_wet,
+        read_wet_pages,
+        write_warc,
+        write_wet,
+    )
+
+    recs = [
+        ("https://example.org/wet/1", "2025-01-01T00:00:00Z", "alpha beta\ngamma"),
+        ("https://example.org/wet/2", "2025-01-02T00:00:00Z", "déjà vu ünïcode"),
+    ]
+    assert parse_wet(write_wet(recs)) == recs
+
+    wet_dir = tmp_path / "wet"
+    wet_dir.mkdir()
+    (wet_dir / "crawl-00000.warc.wet").write_bytes(write_wet(recs))
+    # a response record in the same bytes is IGNORED by the WET reader
+    mixed = write_wet(recs[:1]) + write_warc(
+        [("https://example.org/html/1", "2025-01-03T00:00:00Z", b"<p>x</p>")]
+    )
+    (wet_dir / "crawl-00001.warc.wet").write_bytes(mixed)
+
+    pages = read_wet_pages(spark, str(wet_dir))
+    collected = pages.collect()
+    # 2 conversion records in file 0 + 1 in file 1; the response record
+    # is invisible to the WET reader
+    assert len(collected) == 3
+    rows = {r["url"]: r for r in collected}
+    assert set(rows) == {r[0] for r in recs}
+    docs = {r["url"]: r for r in extract_docs(pages).collect()}
+    assert docs["https://example.org/wet/2"]["extracted_text"] == "déjà vu ünïcode"
+    assert docs["https://example.org/wet/1"]["extracted_text"] == "alpha beta\ngamma"
+    assert all(r["html"] is None for r in rows.values())
+
+
 def test_warc_malformed_contracts():
     """parse_warc's documented contract: ValueError (never zlib.error) on
     corrupt input; missing/bad WARC-Date → the non-null sentinel epoch so
