@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import semantics as S
+from .gate_links import LINK_SUITE_MEMBERS
 from .gate_suites import suite_oracle, suite_query
 from .gate_textdata import (
     _docs,
@@ -107,10 +108,10 @@ n2 AS (
               WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
               ELSE auth END AS host,
          CASE WHEN path = '' THEN '/' ELSE path END AS path2,
-         array_to_string(
+         coalesce(array_to_string(
            list_filter(string_split(query, '&'),
                        x -> x <> '' AND NOT regexp_matches(x, '{S.TRACKING_PARAM_RE}')),
-           '&') AS q2,
+           '&'), '') AS q2,
          regexp_replace(auth, ':[0-9]+$', '') AS host0
   FROM n
 ),
@@ -883,6 +884,8 @@ _URL_SUITE = [
     ("cap_domain", q_cap_domain, O_CAP_DOMAIN, ["doc_id", "url"]),
     ("blocked_domains", q_blocked_domains, O_BLOCKED_DOMAINS,
      ["doc_id", "url"]),
+    # link-graph tier (operators/links.py) — members live in gate_links.py
+    *LINK_SUITE_MEMBERS,
 ]
 
 _CURATE_SUITE = [
@@ -945,6 +948,7 @@ CURATION_ORACLES = {
 #: folded members, individually swept by scripts/check_gate.py (sampling
 #: members ride gate_textdata.TEXT_MICRO_QUERIES)
 CURATION_MICRO_QUERIES = {
+    **{f"td_{g}": fn for g, fn, _sql, _cols in LINK_SUITE_MEMBERS},
     "td_url_norm": q_url_norm,
     "td_latest_capture": q_latest_capture,
     "td_cap_domain": q_cap_domain,
@@ -964,6 +968,7 @@ CURATION_MICRO_QUERIES = {
 }
 
 CURATION_MICRO_ORACLES = {
+    **{f"td_{g}": sql for g, _fn, sql, _cols in LINK_SUITE_MEMBERS},
     "td_url_norm": O_URL_NORM,
     "td_latest_capture": O_LATEST_CAPTURE,
     "td_cap_domain": O_CAP_DOMAIN,

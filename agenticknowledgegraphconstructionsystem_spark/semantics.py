@@ -171,6 +171,31 @@ URL_PARSE_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)\??([^#]*)"
 #: '&'-token with unanchored search semantics — rlike / regexp_matches)
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
 
+#: Hyperlink extraction (operators/links.py + its DuckDB twin) — the
+#: Common-Crawl link-graph first mile.  Java-regex ∩ RE2 subset like
+#: URL_PARSE_RE; \x27 is the single-quote character spelled so the
+#: pattern can be interpolated into single-quoted SQL literals verbatim.
+#: ANCHOR_TAG_RE matches one whole <a ...>text</a> element whose href is
+#: quoted (either quote style) and whose inner text carries no nested
+#: markup — anchors whose inner text contains a child tag do NOT match
+#: and are dropped whole (documented extraction rule, not a parser).
+#: Group 0 feeds regexp_extract_all in both engines.
+ANCHOR_TAG_RE = r"<[Aa]\s[^>]*[Hh][Rr][Ee][Ff]\s*=\s*[\"\x27][^\"\x27>]*[\"\x27][^>]*>[^<]*</[Aa]>"
+#: per-tag href value (group 1) and inner text (group 1)
+HREF_ATTR_RE = r"[Hh][Rr][Ee][Ff]\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
+ANCHOR_TEXT_RE = r">([^<]*)</[Aa]>$"
+
+#: href → absolute-URL resolution rule (operators/links.py, SQL-expressible
+#: by construction): an absolute http(s) href passes through (scheme read
+#: via URL_PARSE_RE group 1, lowercased, membership in LINK_SCHEMES); any
+#: other explicit '<scheme>://' href is dropped; a protocol-relative
+#: '//host/...' href takes the source page's scheme; a root-relative
+#: '/...' href takes the source's scheme://authority; every remaining
+#: form (mailto:, javascript:, fragments, relative paths — whose
+#: dot-segment resolution is NOT SQL-expressible) is dropped.  The
+#: resolved candidate is then normalized by urls.normalize_url.
+LINK_SCHEMES = ("http", "https")
+
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),

@@ -1,0 +1,175 @@
+"""Link-graph tier (operators/links.py): resolution-rule edge cases,
+DuckDB twins over html synthesized identically in both engines from the
+real sf0.001 documents table (the gate_links members), binary-html
+plumbing, and the host-graph → pagerank composition."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agenticknowledgegraphconstructionsystem_spark.gate_links import (
+    LINK_SUITE_MEMBERS,
+    link_pages,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators.links import (
+    extract_anchors,
+    extract_links,
+    host_graph,
+    link_edges,
+    resolve_href,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_resolve_href_edge_cases(spark):
+    src = "HTTPS://WWW.Example.ORG:443/dir/page?x=1"
+    cases = {
+        # absolute http(s): pass through + normalize (case, :443, tracking)
+        "HTTP://Host.COM:80/A?utm_a=1&id=2": "http://host.com/A?id=2",
+        "https://h.io/p": "https://h.io/p",
+        # protocol-relative: source scheme
+        "//cdn.example.net/a": "https://cdn.example.net/a",
+        # root-relative: source scheme://authority (port re-stripped)
+        "/top/x?gclid=1": "https://www.example.org/top/x",
+        # dropped forms
+        "ftp://files.example.org/f": None,
+        "mailto:a@b.c": None,
+        "javascript:void(0)": None,
+        "rel/path/page": None,
+        "#frag": None,
+        "": None,
+    }
+    df = spark.createDataFrame([Row(href=h) for h in cases])
+    got = {
+        r["href"]: r["dst"]
+        for r in df.select(
+            "href", resolve_href(F.lit(src), F.col("href")).alias("dst")
+        ).collect()
+    }
+    for href, want in cases.items():
+        assert got[href] == want, href
+    # scheme-less SOURCE: relative forms have no base → dropped
+    df2 = spark.createDataFrame([Row(href="/x"), Row(href="//h.io/x")])
+    assert [
+        r["d"]
+        for r in df2.select(
+            resolve_href(F.lit("no-scheme-source"), F.col("href")).alias("d")
+        ).collect()
+    ] == [None, None]
+
+
+def test_extract_anchors_rule(spark):
+    html = (
+        '<a href="/one">first</a>'
+        "<A  DATA-X='1' HREF='/two'> padded text </A>"
+        '<a href="/three"><b>nested markup drops whole anchor</b></a>'
+        "<a href=/four>unquoted drops</a>"
+        "<a name=anchor-no-href>no href</a>"
+    )
+    df = spark.createDataFrame([Row(url="https://e.org/p", html=html)])
+    got = sorted(
+        (r["href"], r["anchor_text"])
+        for r in extract_anchors(df).collect()
+    )
+    assert got == [("/one", "first"), ("/two", "padded text")]
+
+
+def test_extract_anchors_binary_html(spark):
+    """The pages schema carries html as binary (WARC payload) — the
+    operator casts; one row per matching anchor."""
+    df = spark.createDataFrame(
+        [Row(url="https://e.org/p", html=b'<a href="https://t.com/x">t</a>')],
+        "url string, html binary",
+    )
+    rows = extract_links(df).collect()
+    assert [(r["dst_url"], r["anchor_text"]) for r in rows] == [
+        ("https://t.com/x", "t")
+    ]
+
+
+def _member_sql(name):
+    return next(
+        (sql, cols) for g, _fn, sql, cols in LINK_SUITE_MEMBERS if g == name
+    )
+
+
+def test_extract_links_matches_duckdb_twin(spark):
+    pages = link_pages(spark, SF_DIR)
+    got = sorted(
+        (r["url"], r["href"], r["anchor_text"], r["dst_url"])
+        for r in extract_links(pages).collect()
+    )
+    sql, _cols = _member_sql("links")
+    assert got == _duck(sql)
+    # non-vacuous: exactly the 4 resolving anchor forms per page survive
+    n_pages = pages.count()
+    assert len(got) == 4 * n_pages
+    assert {h.split("/")[1] or "//" for _u, h, _t, _d in got} >= {"local", "p"}
+    assert all("utm_" not in d and "#" not in d for _u, _h, _t, d in got)
+
+
+def test_link_edges_matches_duckdb_twin(spark):
+    pages = link_pages(spark, SF_DIR)
+    got = sorted(
+        (r["src"], r["dst"]) for r in link_edges(pages).collect()
+    )
+    sql, _cols = _member_sql("link_edges")
+    assert got == _duck(sql)
+    # self-links vanished; every endpoint is normalized (lowercase scheme,
+    # no tracking params, no fragments)
+    assert all(s != d for s, d in got)
+    assert all(
+        u.startswith("https://") and "utm_" not in u and "#" not in u
+        for e in got
+        for u in e
+    )
+
+
+def test_host_graph_matches_duckdb_twin(spark):
+    pages = link_pages(spark, SF_DIR)
+    got = sorted(
+        (r["src_domain"], r["dst_domain"], r["n_links"])
+        for r in host_graph(pages).collect()
+    )
+    sql, _cols = _member_sql("host_graph")
+    assert got == _duck(sql)
+    # intra-domain edges are gone; cdn + t*.com targets present
+    assert all(s != d for s, d, _n in got)
+    assert {d for _s, d, _n in got} >= {"example.net"}
+
+
+def test_host_graph_pagerank_composition(spark):
+    """host_graph feeds pagerank_fixed_point unchanged — deterministic
+    int64 scores, one row per host, repeat-run bit-identical."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    hg = host_graph(link_pages(spark, SF_DIR))
+    pr = pagerank_fixed_point(
+        hg, src="src_domain", dst="dst_domain", iters=4
+    )
+    rows = {r["node"]: r["pr"] for r in pr.collect()}
+    nodes = set()
+    for r in hg.collect():
+        nodes.update((r["src_domain"], r["dst_domain"]))
+    assert set(rows) == nodes
+    assert all(isinstance(v, int) and v > 0 for v in rows.values())
+    rows2 = {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed_point(
+            hg, src="src_domain", dst="dst_domain", iters=4
+        ).collect()
+    }
+    assert rows == rows2

@@ -110,10 +110,10 @@ n2 AS (
               WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
               ELSE auth END AS host,
          CASE WHEN path = '' THEN '/' ELSE path END AS path2,
-         array_to_string(
+         coalesce(array_to_string(
            list_filter(string_split(query, '&'),
                        x -> x <> '' AND NOT regexp_matches(x, '{S.TRACKING_PARAM_RE}')),
-           '&') AS q2,
+           '&'), '') AS q2,
          regexp_replace(auth, ':[0-9]+$', '') AS host0
   FROM n
 ),
