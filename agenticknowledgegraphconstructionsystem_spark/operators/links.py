@@ -129,25 +129,34 @@ def link_edges(
     )
 
 
+def host_rollup(edges: DataFrame, include_intra: bool = False) -> DataFrame:
+    """Distinct page-level (src, dst) edges → (src_domain, dst_domain,
+    n_links) at registered-domain granularity.  ``include_intra=False``
+    (default) drops same-domain edges, the usual ranking convention
+    (nav/self links dominate otherwise).  Map-side partial agg over the
+    already-distinct edge list; the output feeds
+    graph.pagerank_fixed_point(src='src_domain', dst='dst_domain')
+    directly."""
+    rolled = edges.select(
+        registered_domain(F.col("src")).alias("src_domain"),
+        registered_domain(F.col("dst")).alias("dst_domain"),
+    )
+    if not include_intra:
+        rolled = rolled.where(F.col("src_domain") != F.col("dst_domain"))
+    return rolled.groupBy("src_domain", "dst_domain").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
 def host_graph(
     pages: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
     include_intra: bool = False,
 ) -> DataFrame:
-    """(src_domain, dst_domain, n_links): the host-level link graph —
-    n_links counts distinct page-level edges between the two registered
-    domains.  ``include_intra=False`` (default) drops same-domain edges,
-    the usual ranking convention (nav/self links dominate otherwise).
-    Map-side partial agg over the already-distinct edge list; the output
-    feeds graph.pagerank_fixed_point(src='src_domain', dst='dst_domain')
-    directly."""
-    edges = link_edges(pages, url_col=url_col, html_col=html_col).select(
-        registered_domain(F.col("src")).alias("src_domain"),
-        registered_domain(F.col("dst")).alias("dst_domain"),
-    )
-    if not include_intra:
-        edges = edges.where(F.col("src_domain") != F.col("dst_domain"))
-    return edges.groupBy("src_domain", "dst_domain").agg(
-        F.count(F.lit(1)).alias("n_links")
+    """pages → host-level link graph in one call:
+    host_rollup(link_edges(pages))."""
+    return host_rollup(
+        link_edges(pages, url_col=url_col, html_col=html_col),
+        include_intra=include_intra,
     )

@@ -59,6 +59,8 @@ STAGES = (
     "findings",
     "validated_edges",
     "graph_metrics",
+    "link_graph",
+    "host_rank",
     "assembly",
 )
 
@@ -76,6 +78,7 @@ class Pipeline:
         dedup_mode: str | None = None,
         dedup_threshold: float = 0.5,
         graph_metrics: bool = False,
+        link_graph: bool = False,
         curate: bool = False,
         strip_boilerplate: bool = False,
         decontam_benchmark: DataFrame | None = None,
@@ -121,6 +124,15 @@ class Pipeline:
         content rather than shared chrome.  Default off: the reference
         has no curation tier.
 
+        ``link_graph=True`` adds two stages over the RAW pages html
+        (operators/links.py — the web analogue of the reference's
+        citation-graph fetch, fetch_citing_papers.py): ``link_graph``
+        commits the distinct page-level (src, dst) hyperlink edges, and
+        ``host_rank`` commits int64 fixed-point PageRank over the
+        registered-domain rollup of those edges — the crawl-prioritization
+        signal.  Both resume like every stage; the edge extraction never
+        touches the extract/mention DAG.
+
         ``assemble_ctx=<ctx_len>`` adds the corpus→training-stream
         assembly stage over the final (deduped, curated) docs: an
         optional domain-mixture resample (``mixture_targets`` — permille
@@ -146,6 +158,7 @@ class Pipeline:
         self.dedup_mode = dedup_mode or ("exact" if dedup_docs else None)
         self.dedup_threshold = dedup_threshold
         self.graph_metrics = graph_metrics
+        self.link_graph = link_graph
         self.curate = curate or strip_boilerplate
         self.strip_boilerplate = strip_boilerplate
         self.decontam_benchmark = decontam_benchmark
@@ -498,6 +511,12 @@ class Pipeline:
         gm = None
         if self.graph_metrics:
             gm = self._stage("graph_metrics", lambda: self._graph_metrics(mentions))
+        lg = hr = None
+        if self.link_graph:
+            from ..operators.links import link_edges
+
+            lg = self._stage("link_graph", lambda: link_edges(pages))
+            hr = self._stage("host_rank", lambda: self._host_rank(lg))
         asm = None
         if self.assemble_ctx is not None:
             # Hive-partitioned by shard: a consumer materializing one
@@ -527,9 +546,26 @@ class Pipeline:
         }
         if gm is not None:
             out["graph_metrics"] = gm
+        if lg is not None:
+            out["link_graph"] = lg
+            out["host_rank"] = hr
         if asm is not None:
             out["assembly"] = asm
         return out
+
+    def _host_rank(self, edges: DataFrame) -> DataFrame:
+        """Committed page edges → (node, pr): int64 fixed-point PageRank
+        over the DISTINCT registered-domain pairs (unweighted — the
+        classic host-graph convention; the weighted rollup stays
+        available via links.host_rollup).  The rank the crawl scheduler
+        orders the frontier by."""
+        from ..operators.graph import pagerank_fixed_point
+        from ..operators.links import host_rollup
+
+        hosts = host_rollup(edges).select("src_domain", "dst_domain")
+        return pagerank_fixed_point(
+            hosts, src="src_domain", dst="dst_domain", iters=8
+        )
 
     def _assemble(self, docs: DataFrame) -> DataFrame:
         """Corpus → training stream over the FINAL docs (post-dedup,

@@ -105,7 +105,22 @@ def synthetic_pages_rows(n_docs: int, seed: int = 42) -> list[dict]:
         body = b"".join(
             b"<section>" + seg.encode("utf-8") + b"</section>" for seg in segments
         )
-        html = b"<html>" + _BOILER_NAV + b"<body>" + body + b"</body>" + _BOILER_FOOTER + b"</html>"
+        # citation anchors OUTSIDE the sections (extraction only reads
+        # <section> contents — semantics._SECTION_RE — so extracted text
+        # and every golden downstream of it are untouched): every doc
+        # cites the seminal hub, later docs also cite doc i//2 — the
+        # synthetic analogue of the reference's citation graph, consumed
+        # by operators/links.py (Pipeline link_graph=True)
+        cites = b""
+        if i > 0:
+            cited = sorted({0, i // 2} - {i})
+            cites = b"".join(
+                f'<a href="/paper/{j:05d}">cites {j}</a>'.encode() for j in cited
+            )
+        html = (
+            b"<html>" + _BOILER_NAV + b"<body>" + body + b"</body>"
+            + cites + _BOILER_FOOTER + b"</html>"
+        )
         rows.append(
             {
                 "url": _doc_url(i),

@@ -68,6 +68,13 @@ def main() -> None:
         "co-mention document graph (committed/resumable like every stage)",
     )
     ap.add_argument(
+        "--link-graph",
+        action="store_true",
+        help="hyperlink stages over the raw pages html: committed page-"
+        "level (src, dst) edges + PageRank over the registered-domain "
+        "rollup (the crawl-prioritization signal)",
+    )
+    ap.add_argument(
         "--curate",
         action="store_true",
         help="training-data curation stage after dedup: Gopher repetition "
@@ -138,6 +145,7 @@ def main() -> None:
         dedup_mode=args.dedup_mode,
         dedup_threshold=args.dedup_threshold,
         graph_metrics=args.graph_metrics,
+        link_graph=args.link_graph,
         curate=args.curate or bool(args.decontam_benchmark),
         strip_boilerplate=args.strip_boilerplate,
         decontam_benchmark=(
@@ -155,6 +163,9 @@ def main() -> None:
     counts = {k: v.count() for k, v in res.items() if k in ("triples", "entities", "mentions")}
     if "graph_metrics" in res:
         counts["graph_nodes"] = res["graph_metrics"].count()
+    if "link_graph" in res:
+        counts["link_edges"] = res["link_graph"].count()
+        counts["host_nodes"] = res["host_rank"].count()
     if "assembly" in res:
         counts["assembly_rows"] = res["assembly"].count()
     if args.sql_views:

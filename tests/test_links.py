@@ -149,6 +149,59 @@ def test_host_graph_matches_duckdb_twin(spark):
     assert {d for _s, d, _n in got} >= {"example.net"}
 
 
+def test_pipeline_link_graph_stages(spark, tmp_path):
+    """Pipeline(link_graph=True) commits page-level edges + host-rank
+    stages over the RAW pages html, with lineage + resume like every
+    stage, matching the standalone operators exactly."""
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+
+    base = synthetic_pages(spark, 40)
+    # synthetic html carries no anchors — append one absolute + one
+    # root-relative per page (binary html stays binary)
+    pages = base.withColumn(
+        "html",
+        F.concat(
+            F.col("html").cast("string"),
+            F.lit('<a href="https://hub.example.com/h">hub</a>'),
+            F.concat(
+                F.lit('<a href="/next/'),
+                F.crc32(F.col("url")) % 7,
+                F.lit('">next</a>'),
+            ),
+        ).cast("binary"),
+    )
+    p = Pipeline(spark, str(tmp_path / "lg"), run_id="l1", link_graph=True)
+    r = p.run(pages)
+    assert {"link_graph", "host_rank"} <= set(p._recomputed)
+    got_edges = sorted(map(tuple, r["link_graph"].collect()))
+    want_edges = sorted(map(tuple, link_edges(pages).collect()))
+    assert got_edges == want_edges and len(got_edges) > 0
+    hr = {row["node"]: row["pr"] for row in r["host_rank"].collect()}
+    # hosts are REGISTERED domains; the hub (example.com) is linked from
+    # every page while example.org only links out (its /next self-links
+    # are intra-domain and dropped by the rollup)
+    assert set(hr) == {"example.org", "example.com"}
+    assert hr["example.com"] > hr["example.org"]
+    assert p.lineage().where("stage = 'link_graph'").count() >= 1
+
+    # full resume: nothing recomputes
+    p2 = Pipeline(spark, str(tmp_path / "lg"), run_id="l2", link_graph=True)
+    p2.run(pages)
+    assert p2._recomputed == []
+
+    # kill only host_rank -> only it recomputes, result unchanged
+    p2.store.uncommit("host_rank")
+    p3 = Pipeline(spark, str(tmp_path / "lg"), run_id="l3", link_graph=True)
+    r3 = p3.run(pages)
+    assert p3._recomputed == ["host_rank"]
+    assert {row["node"]: row["pr"] for row in r3["host_rank"].collect()} == hr
+
+
 def test_host_graph_pagerank_composition(spark):
     """host_graph feeds pagerank_fixed_point unchanged — deterministic
     int64 scores, one row per host, repeat-run bit-identical."""
