@@ -232,10 +232,40 @@ O_HOST_GRAPH = (
 )
 
 
+_PROFILE_K = 2
+
+
+def q_anchor_profile(spark, sf_dir):
+    """links.anchor_text_profile: top-k anchor texts per resolved
+    target — count agg + WindowGroupLimit rank."""
+    from .operators.links import anchor_text_profile
+
+    return anchor_text_profile(link_pages(spark, sf_dir), k=_PROFILE_K).select(
+        "dst_url",
+        "anchor_text",
+        F.col("n_mentions").cast(_BIG).alias("n_mentions"),
+        F.col("rank").cast(_BIG).alias("rank"),
+    )
+
+
+O_ANCHOR_PROFILE = (
+    f"WITH {_DUCK_PAGES}, {_DUCK_LINKS}, "
+    "g AS (SELECT dst_url, anchor_text, COUNT(*) AS n_mentions "
+    "FROM links GROUP BY dst_url, anchor_text), "
+    "r AS (SELECT dst_url, anchor_text, n_mentions, "
+    "ROW_NUMBER() OVER (PARTITION BY dst_url "
+    "ORDER BY n_mentions DESC, anchor_text ASC) AS rank FROM g) "
+    "SELECT dst_url, anchor_text, CAST(n_mentions AS BIGINT) AS n_mentions, "
+    f"CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {_PROFILE_K}"
+)
+
+
 #: folded into gate_curation's td_url_suite + CURATION_MICRO_* registries
 LINK_SUITE_MEMBERS = [
     ("links", q_links, O_LINKS, ["url", "href", "anchor_text", "dst_url"]),
     ("link_edges", q_link_edges, O_LINK_EDGES, ["src", "dst"]),
     ("host_graph", q_host_graph, O_HOST_GRAPH,
      ["src_domain", "dst_domain", "n_links"]),
+    ("anchor_profile", q_anchor_profile, O_ANCHOR_PROFILE,
+     ["dst_url", "anchor_text", "n_mentions", "rank"]),
 ]

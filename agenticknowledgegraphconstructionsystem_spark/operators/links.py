@@ -129,6 +129,38 @@ def link_edges(
     )
 
 
+def anchor_text_profile(
+    pages: DataFrame,
+    k: int = 3,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(dst_url, anchor_text, n_mentions, rank): the top-``k`` anchor
+    texts per resolved link target, by mention count (ties by anchor
+    text ASC — fully deterministic).  Anchor text is the classic
+    entity-name signal: what the web CALLS a target page, feeding
+    entity linking the way the reference feeds surface forms from its
+    own extraction (entity-extraction-agent.ts).
+
+    Two exchanges: one map-side-combinable count agg on (dst,
+    anchor_text), one WindowGroupLimit rank on dst — bounded per-group
+    state, never a full sort."""
+    from pyspark.sql import Window
+
+    counts = (
+        extract_links(pages, url_col=url_col, html_col=html_col)
+        .groupBy("dst_url", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+    w = Window.partitionBy("dst_url").orderBy(
+        F.desc("n_mentions"), F.asc("anchor_text")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def host_rollup(edges: DataFrame, include_intra: bool = False) -> DataFrame:
     """Distinct page-level (src, dst) edges → (src_domain, dst_domain,
     n_links) at registered-domain granularity.  ``include_intra=False``

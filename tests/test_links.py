@@ -149,6 +149,25 @@ def test_host_graph_matches_duckdb_twin(spark):
     assert {d for _s, d, _n in got} >= {"example.net"}
 
 
+def test_anchor_text_profile_matches_duckdb_twin(spark):
+    from agenticknowledgegraphconstructionsystem_spark.gate_links import (
+        _PROFILE_K,
+        q_anchor_profile,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_anchor_profile(spark, SF_DIR).collect()
+    )
+    sql, _cols = _member_sql("anchor_profile")
+    assert got == _duck(sql)
+    # bounded per target, ranks contiguous from 1
+    per = {}
+    for dst, _t, _n, rank in got:
+        per.setdefault(dst, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= _PROFILE_K
+               for v in per.values())
+
+
 def test_pipeline_link_graph_stages(spark, tmp_path):
     """Pipeline(link_graph=True) commits page-level edges + host-rank
     stages over the RAW pages html, with lineage + resume like every
