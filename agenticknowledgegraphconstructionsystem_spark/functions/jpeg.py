@@ -1,20 +1,27 @@
-"""Baseline JPEG codec in pure stdlib + numpy (ITU-T T.81 / ISO 10918-1,
-sequential DCT, 8-bit) — the dominant web image format, closing the
-multimodal tier's biggest realism gap (a Common-Crawl media corpus is
-overwhelmingly JPEG/PNG; PNG/BMP/WAV/Y4M already decode in
-operators/multimodal.py).
+"""JPEG codec in pure stdlib + numpy (ITU-T T.81 / ISO 10918-1) — the
+dominant web image format, closing the multimodal tier's biggest realism
+gap (a Common-Crawl media corpus is overwhelmingly JPEG/PNG; PNG/BMP/WAV/
+Y4M already decode in operators/multimodal.py).
 
-Decoder scope: baseline SOF0, 8-bit precision, 1 or 3 components, any
-sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic interleaved MCU
-loop), multiple DQT/DHT segments, restart markers (DRI/RSTn), 0xFF00
-byte-stuffing.  Progressive (SOF2) and arithmetic coding raise an honest
-``NotImplementedError``; malformed streams raise ``ValueError``.
+Decoder scope: sequential baseline (SOF0/1) AND progressive (SOF2) DCT,
+8-bit precision, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 /
+4:2:0 via the generic interleaved MCU loop), multiple DQT/DHT segments,
+restart markers (DRI/RSTn), 0xFF00 byte-stuffing.  Progressive decode
+implements the full Annex G Huffman path: spectral selection, successive
+approximation (DC and AC first + refinement passes), EOB runs, and
+per-scan restart handling, accumulated in a per-component coefficient
+store that is dequantized and IDCT'd once at EOI.  Arithmetic coding and
+hierarchical/lossless frames raise an honest ``NotImplementedError``;
+malformed streams raise ``ValueError``.
 
 Encoder scope (test-fixture writer, the ``encode_bmp``/``encode_png``
-sibling): baseline, single interleaved scan, 4:4:4 or 4:2:0, optional
-grayscale and restart intervals.  Huffman tables are built per image as
-FIXED-LENGTH canonical tables over the symbols actually used (a valid
-degenerate Huffman table; the all-ones code stays unused as T.81
+sibling): baseline or progressive (``progressive=True`` emits a real
+scan script — interleaved DC first at Al=1, split spectral AC bands at
+Al=1, then DC and AC refinement passes to Al=0, with cross-block EOB
+runs and buffered correction bits per Annex G), single or 4:2:0 chroma,
+optional grayscale and restart intervals.  Huffman tables are built per
+image as FIXED-LENGTH canonical tables over the symbols actually used (a
+valid degenerate Huffman table; the all-ones code stays unused as T.81
 requires) — deliberately suboptimal compression in exchange for zero
 dependence on the Annex K example tables.
 
@@ -22,7 +29,10 @@ Like the other stdlib codecs this is the honest correctness tier: a
 production 100 TB media pipeline would swap the per-payload Python call
 for libjpeg-turbo behind the same mapInPandas batch shape
 (operators/multimodal.py), which is exactly why the Spark-side plumbing
-is the part under test.
+is the part under test.  The test suite differentially checks both the
+baseline and progressive encoder+decoder against this host's libjpeg
+(a tiny C harness compiled at test time) in addition to the analytic
+hand-built fixtures.
 """
 
 from __future__ import annotations
@@ -46,6 +56,8 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 
 ZIGZAG = _zigzag_order()
+_ZZ_ROW = np.array([rc[0] for rc in ZIGZAG])
+_ZZ_COL = np.array([rc[1] for rc in ZIGZAG])
 
 #: orthonormal 8-point DCT-II basis: forward F = A @ f @ A.T, inverse
 #: f = A.T @ F @ A (A is orthogonal)
@@ -114,6 +126,17 @@ class _BitReader:
             )
         self.pos += 2
 
+    def next_marker(self) -> int:
+        """Discard padding bits, return pos of the next 0xFF marker
+        (skipping any stray stuffed bytes)."""
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        raise ValueError("no marker after entropy-coded segment")
+
 
 def _build_huff(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
     """(BITS, HUFFVAL) → {(code_length, code): symbol} — canonical T.81
@@ -145,50 +168,164 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_block(
-    r: _BitReader,
-    dc_tbl: dict[tuple[int, int], int],
-    ac_tbl: dict[tuple[int, int], int],
-    quant: np.ndarray,
-    pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8×8 block: Huffman decode → dequantize → de-zigzag → IDCT.
-    Returns (spatial block float64 [0..255-ish, pre-clip], new DC pred)."""
-    zz = np.zeros(64, dtype=np.int32)
-    s = _decode_huff(r, dc_tbl)
-    dc = pred + _extend(r.read_bits(s), s)
-    zz[0] = dc
-    k = 1
-    while k < 64:
-        rs = _decode_huff(r, ac_tbl)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL: 16 zeros
-                k += 16
+class _Component:
+    """Per-component coefficient store: zig-zag int32 blocks on the
+    MCU-padded grid, filled across one (baseline) or many (progressive)
+    scans, reconstructed once at EOI."""
+
+    __slots__ = ("cid", "h", "v", "tq", "coefs", "sbw", "sbh", "dc", "ac")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+
+
+def _scan_dims(width: int, height: int, c: _Component, hmax: int, vmax: int):
+    """Non-interleaved block grid for one component: ceil over the
+    component's own sample dimensions (T.81 A.2.2) — may be smaller than
+    the MCU-padded store grid."""
+    cw = -(-width * c.h // hmax)
+    ch = -(-height * c.v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan: list[_Component],
+    huffs: dict,
+    restart: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """Decode one entropy-coded scan (baseline = Ss 0..63 Ah=Al=0) into
+    the components' coefficient stores; returns the byte position of the
+    next marker.  Implements T.81 F.2.2 (sequential) and G.1.2
+    (progressive DC/AC first + refinement, EOB runs)."""
+    r = _BitReader(data, pos)
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        units = scan[0].sbw * scan[0].sbh
+    preds = [0] * len(scan)
+    eobrun = 0
+    n_rst = 0
+    p1, m1 = 1 << al, -1 << al
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            r.sync_restart(n_rst)
+            n_rst += 1
+            preds = [0] * len(scan)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            blocks = [
+                (ci, (my * c.v + by), (mx * c.h + bx))
+                for ci, c in enumerate(scan)
+                for by in range(c.v)
+                for bx in range(c.h)
+            ]
+        else:
+            by, bx = divmod(u, scan[0].sbw)
+            blocks = [(0, by, bx)]
+        for ci, by, bx in blocks:
+            c = scan[ci]
+            zz = c.coefs[by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first (or baseline DC)
+                    s = _decode_huff(r, huffs[(0, c.dc)])
+                    preds[ci] += _extend(r.read_bits(s), s)
+                    zz[0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if r.read_bit():
+                        zz[0] = int(zz[0]) | p1
+            lo = max(ss, 1)
+            if se < lo:
                 continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = _extend(r.read_bits(size), size)
-        k += 1
-    coef = np.zeros((8, 8), dtype=np.float64)
-    for i, (row, col) in enumerate(ZIGZAG):
-        coef[row, col] = zz[i] * quant[i]
-    return _A.T @ coef @ _A + 128.0, dc
+            if ah == 0:  # AC first pass (covers baseline AC, al == 0)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = lo
+                while k <= se:
+                    rs = _decode_huff(r, huffs[(1, c.ac)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        # EOBn: 2^run - 1 + extra FULL blocks beyond this one
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    zz[k] = _extend(r.read_bits(size), size) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                k = lo
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(r, huffs[(1, c.ac)])
+                        run, size = rs >> 4, rs & 0x0F
+                        val = 0
+                        if size == 0:
+                            if run != 15:  # EOBn: current block tail + more
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.read_bits(run)
+                                break
+                            # run == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement symbol with size != 1"
+                                )
+                            val = p1 if r.read_bit() else m1
+                        while k <= se:
+                            cur = int(zz[k])
+                            if cur != 0:
+                                if r.read_bit() and not (cur & p1):
+                                    zz[k] = cur + (p1 if cur > 0 else m1)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # append correction bits to the rest of this block
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur != 0:
+                            if r.read_bit() and not (cur & p1):
+                                zz[k] = cur + (p1 if cur > 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return r.next_marker()
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Baseline JPEG bytes → (width, height, rows of (r, g, b)) — the
-    same return convention as multimodal.decode_bmp / decode_png.
-    Grayscale decodes with r = g = b = Y."""
+    """Baseline or progressive JPEG bytes → (width, height, rows of
+    (r, g, b)) — the same return convention as multimodal.decode_bmp /
+    decode_png.  Grayscale decodes with r = g = b = Y."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quants: dict[int, np.ndarray] = {}
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    comps: list[dict] = []  # id, h, v, tq — SOF order
+    comps: list[_Component] = []
     width = height = 0
+    mcus_x = mcus_y = hmax = vmax = 0
     restart = 0
+    saw_scan = False
     pos = 2
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -196,7 +333,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("reached EOI without an SOS scan")
+            if not saw_scan:
+                raise ValueError("reached EOI without an SOS scan")
+            break
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
@@ -209,17 +348,27 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
                     seg[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int32)
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline+extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            for c in range(nc):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    _Component(cid, hv >> 4 if nc > 1 else 1, hv & 0x0F if nc > 1 else 1, tq)
+                )
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c.coefs = np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32)
+                c.sbw, c.sbh = _scan_dims(width, height, c, hmax, vmax)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X} — progressive/"
-                "hierarchical/arithmetic); only sequential baseline is supported"
+                f"unsupported JPEG frame (SOF marker 0xFF{marker:02X} — "
+                "lossless/hierarchical/arithmetic); sequential baseline and "
+                "progressive Huffman are supported"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -231,73 +380,61 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — single interleaved baseline scan
+        elif marker == 0xDA:  # SOS — one of possibly many scans
             if not comps:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan: list[dict] = []
-            for c in range(ns):
-                cid, tt = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
-                scan.append({**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-            return _decode_scan(
-                payload, pos + seglen, scan, quants, huffs, width, height, restart
+            scan: list[_Component] = []
+            for ci in range(ns):
+                cid, tt = seg[1 + 2 * ci : 3 + 2 * ci]
+                comp = next(x for x in comps if x.cid == cid)
+                comp.dc, comp.ac = tt >> 4, tt & 0x0F
+                scan.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_scan(
+                payload,
+                pos + seglen,
+                scan,
+                huffs,
+                restart,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0x0F,
+                mcus_x,
+                mcus_y,
             )
+            saw_scan = True
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
-    raise ValueError("no SOS scan found")
+    if not saw_scan:
+        raise ValueError("no SOS scan found")
+    return _reconstruct(comps, quants, width, height, hmax, vmax)
 
 
-def _decode_scan(
-    data: bytes,
-    pos: int,
-    scan: list[dict],
+def _reconstruct(
+    comps: list[_Component],
     quants: dict[int, np.ndarray],
-    huffs: dict,
     width: int,
     height: int,
-    restart: int,
+    hmax: int,
+    vmax: int,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    if len(scan) == 1:  # non-interleaved single-component scan: MCU = 1 block
-        scan[0] = {**scan[0], "h": 1, "v": 1}
-        hmax = vmax = 1
-        mcus_x = (width + 7) // 8
-        mcus_y = (height + 7) // 8
-    else:
-        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"])) for c in scan
-    ]
-    r = _BitReader(data, pos)
-    preds = [0] * len(scan)
-    n_rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart and mcu and mcu % restart == 0:
-            r.sync_restart(n_rst)
-            n_rst += 1
-            preds = [0] * len(scan)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, c in enumerate(scan):
-            quant = quants[c["tq"]]
-            dc_t, ac_t = huffs[(0, c["dc"])], huffs[(1, c["ac"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    block, preds[ci] = _decode_block(r, dc_t, ac_t, quant, preds[ci])
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample each component to full resolution by sample replication
+    """Dequantize + IDCT the whole coefficient store (vectorized over
+    blocks), upsample by sample replication, color-convert."""
     ys = np.arange(height)
     xs = np.arange(width)
     full = []
-    for ci, c in enumerate(scan):
-        full.append(
-            planes[ci][np.ix_(ys * c["v"] // vmax, xs * c["h"] // hmax)]
-        )
-    if len(scan) == 1:
+    for c in comps:
+        dq = c.coefs.astype(np.float64) * quants[c.tq][None, None, :]
+        m = np.zeros(dq.shape[:2] + (8, 8))
+        m[:, :, _ZZ_ROW, _ZZ_COL] = dq
+        spatial = np.einsum("ji,abjk,kl->abil", _A, m, _A) + 128.0
+        bh, bw = spatial.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        full.append(plane[np.ix_(ys * c.v // vmax, xs * c.h // hmax)])
+    if len(comps) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         rgb = np.stack([y, y, y], axis=-1)
     else:
@@ -361,26 +498,164 @@ def _fixed_table(symbols: set[int]) -> tuple[list[int], list[int], dict[int, tup
     return counts, vals, {s: (i, length) for i, s in enumerate(vals)}
 
 
-def _blocks_mcu_order(
-    plane: np.ndarray, h: int, v: int, mcus_x: int, mcus_y: int
-) -> "list[tuple[int, np.ndarray]]":
-    """(mcu_index, 8×8 block) pairs in interleaved scan order for a
-    component with sampling factors (h, v)."""
-    out = []
-    for mcu in range(mcus_x * mcus_y):
-        my, mx = divmod(mcu, mcus_x)
-        for by in range(v):
-            for bx in range(h):
-                y0 = (my * v + by) * 8
-                x0 = (mx * h + bx) * 8
-                out.append((mcu, plane[y0 : y0 + 8, x0 : x0 + 8]))
-    return out
-
-
 def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return np.pad(
         plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
     )
+
+
+# Event vocabulary shared by the two emission passes: ("sym", key, symbol)
+# huffman-coded symbol for table key=(class, tid); ("bits", value, n) raw
+# appended bits; ("rst", n) byte-aligned restart marker.
+
+
+def _ebits(v: int, s: int) -> tuple[int, int]:
+    """Signed value → (appended-bit value, length) per T.81 F.1.2.1."""
+    return (v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _dc_events(scan_blocks, tids, al: int, refine: bool, restart: int):
+    """DC scan events over interleaved MCU-ordered (ci, zz) blocks.
+    ``scan_blocks`` yields lists of (ci, zz) per MCU."""
+    preds: dict[int, int] = {}
+    n_rst = 0
+    for u, mcu_blocks in enumerate(scan_blocks):
+        if restart and u and u % restart == 0:
+            yield ("rst", n_rst % 8, 0)
+            n_rst += 1
+            preds = {}
+        for ci, zz in mcu_blocks:
+            t = int(zz[0]) >> al  # DC point transform: arithmetic shift
+            if refine:
+                yield ("bits", t & 1, 1)
+                continue
+            diff = t - preds.get(ci, 0)
+            preds[ci] = t
+            s = _category(diff)
+            yield ("sym", (0, tids[ci]), s)
+            if s:
+                yield ("bits", *_ebits(diff, s))
+
+
+def _eob_sym(eobrun: int) -> tuple[int, int, int]:
+    """EOB run length → (symbol, extra value, extra bits) per G.1.2.2."""
+    rbits = eobrun.bit_length() - 1
+    return rbits << 4, eobrun - (1 << rbits), rbits
+
+
+def _ac_first_events(blocks, tid: int, ss: int, se: int, al: int, restart: int):
+    """AC first-pass scan events over one component's raster-ordered
+    blocks; accumulates cross-block EOB runs (flushed at restarts and at
+    the 32767 cap)."""
+    eobrun = 0
+    n_rst = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            sym, extra, n = _eob_sym(eobrun)
+            yield ("sym", (1, tid), sym)
+            if n:
+                yield ("bits", extra, n)
+            eobrun = 0
+
+    for u, zz in enumerate(blocks):
+        if restart and u and u % restart == 0:
+            yield from flush()
+            yield ("rst", n_rst % 8, 0)
+            n_rst += 1
+        t = [
+            (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        last = max((i for i, v in enumerate(t) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 32767:
+                yield from flush()
+            continue
+        yield from flush()
+        r = 0
+        for v in t[: last + 1]:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                yield ("sym", (1, tid), 0xF0)
+                r -= 16
+            s = _category(v)
+            yield ("sym", (1, tid), (r << 4) | s)
+            yield ("bits", *_ebits(v, s))
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+    yield from flush()
+
+
+def _ac_refine_events(blocks, tid: int, ss: int, se: int, al: int, restart: int):
+    """AC refinement scan events (G.1.2.3): newly-significant coefs as
+    (run, 1) symbols + sign bit, correction bits for already-nonzero
+    coefs buffered and flushed after the next symbol, cross-block EOB
+    runs carrying the tail correction bits."""
+    eobrun = 0
+    be: list[int] = []  # correction bits awaiting the next symbol
+    n_rst = 0
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            sym, extra, n = _eob_sym(eobrun)
+            yield ("sym", (1, tid), sym)
+            if n:
+                yield ("bits", extra, n)
+            for b in be:
+                yield ("bits", b, 1)
+            eobrun = 0
+            be = []
+
+    for u, zz in enumerate(blocks):
+        if restart and u and u % restart == 0:
+            yield from flush()
+            yield ("rst", n_rst % 8, 0)
+            n_rst += 1
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        t = [abs(v) >> al for v in vals]
+        last_new = max((i for i, m in enumerate(t) if m == 1), default=-1)
+        if last_new < 0:
+            # whole band folds into the EOB run; its history coefs'
+            # correction bits ride along in order
+            be.extend(m & 1 for m in t if m > 1)
+            eobrun += 1
+            if eobrun == 32767 or len(be) > 4000:
+                yield from flush()
+            continue
+        yield from flush()
+        r = 0
+        pend: list[int] = []
+        for i in range(last_new + 1):
+            if t[i] == 0:
+                r += 1
+                continue
+            while r > 15:
+                yield ("sym", (1, tid), 0xF0)
+                for b in pend:
+                    yield ("bits", b, 1)
+                pend = []
+                r -= 16
+            if t[i] > 1:  # history coefficient: buffer its correction bit
+                pend.append(t[i] & 1)
+                continue
+            yield ("sym", (1, tid), (r << 4) | 1)
+            yield ("bits", 1 if vals[i] >= 0 else 0, 1)
+            for b in pend:
+                yield ("bits", b, 1)
+            pend = []
+            r = 0
+        tail = [t[i] & 1 for i in range(last_new + 1, len(t)) if t[i] > 1]
+        if r > 0 or tail or last_new < se - ss:
+            eobrun += 1
+            be = tail
+    yield from flush()
 
 
 def encode_jpeg(
@@ -389,12 +664,16 @@ def encode_jpeg(
     chroma_subsample: int = 1,
     grayscale: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Pixel rows → baseline JPEG bytes.  ``quant`` is one value or a
-    64-list in zig-zag order shared by all components (1 = near-lossless);
-    ``chroma_subsample=2`` emits 4:2:0 (mean-pooled chroma).  Fixture
-    writer — compression ratio is a non-goal (fixed-length Huffman codes).
-    """
+    """Pixel rows → baseline (default) or progressive JPEG bytes.
+    ``quant`` is one value or a 64-list in zig-zag order shared by all
+    components (1 = near-lossless); ``chroma_subsample=2`` emits 4:2:0
+    (mean-pooled chroma).  ``progressive=True`` writes an SOF2 frame with
+    a DC-first(Al=1)/split-AC(Al=1)/refine-to-Al=0 scan script — the
+    coefficient content is identical to the baseline encoding, so both
+    must decode to the same pixels.  Fixture writer — compression ratio
+    is a non-goal (fixed-length Huffman codes)."""
     px = np.array(rows, dtype=np.float64)
     h_img, w_img = px.shape[0], px.shape[1]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -418,61 +697,141 @@ def encode_jpeg(
     mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
 
-    # per-component quantized zig-zag blocks in MCU order
-    per_comp: list[list[tuple[int, np.ndarray]]] = []
+    # per-component quantized zig-zag block grids [bh, bw, 64]
+    grids: list[np.ndarray] = []
     for _cid, ch, cv, _tq, plane in comps:
-        padded = _pad_to(plane, mcus_y * 8 * cv, mcus_x * 8 * ch)
-        quantized = []
-        for mcu, block in _blocks_mcu_order(padded, ch, cv, mcus_x, mcus_y):
-            coef = _A @ (block - 128.0) @ _A.T
-            zz = np.array(
-                [int(round(coef[row, col] / qtab[i])) for i, (row, col) in enumerate(ZIGZAG)]
+        bh, bw = mcus_y * cv, mcus_x * ch
+        padded = _pad_to(plane, bh * 8, bw * 8)
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", _A, blocks - 128.0, _A)
+        zz = np.round(coef[:, :, _ZZ_ROW, _ZZ_COL] / qtab[None, None, :]).astype(
+            np.int64
+        )
+        grids.append(zz)
+
+    tids = [0] + [1] * (len(comps) - 1)
+
+    def mcu_order(ci: int):
+        """(ci, zz) blocks of one component in interleaved MCU order."""
+        _cid, ch, cv, _tq, _p = comps[ci]
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for by in range(cv):
+                for bx in range(ch):
+                    yield ci, grids[ci][my * cv + by, mx * ch + bx]
+
+    def mcu_blocks():
+        """All components' blocks grouped per MCU (DC scan order)."""
+        its = [mcu_order(ci) for ci in range(len(comps))]
+        for _ in range(mcus_x * mcus_y):
+            out = []
+            for ci, (_c, ch, cv, _t, _p) in enumerate(comps):
+                out.extend(next(its[ci]) for _ in range(ch * cv))
+            yield out
+
+    def raster(ci: int):
+        """One component's blocks in its non-interleaved scan grid order
+        (matches the decoder's _scan_dims)."""
+        c = _Component(*[comps[ci][j] for j in (0, 1, 2, 3)])
+        sbw, sbh = _scan_dims(w_img, h_img, c, hmax, vmax)
+        for by in range(sbh):
+            for bx in range(sbw):
+                yield grids[ci][by, bx]
+
+    # scan script: (event generator factory, SOS header fields)
+    ri = restart_interval
+    if progressive:
+        bands0 = [(1, 5), (6, 63)]  # split spectral selection for comp 0
+        scans = [
+            (
+                lambda: _dc_events(mcu_blocks(), tids, 1, False, ri),
+                list(range(len(comps))),
+                0,
+                0,
+                0,
+                1,
             )
-            quantized.append((mcu, zz))
-        per_comp.append(quantized)
+        ]
+        for ci in range(len(comps)):
+            for ss, se in bands0 if ci == 0 else [(1, 63)]:
+                scans.append(
+                    (
+                        lambda ci=ci, ss=ss, se=se: _ac_first_events(
+                            raster(ci), tids[ci], ss, se, 1, ri
+                        ),
+                        [ci],
+                        ss,
+                        se,
+                        0,
+                        1,
+                    )
+                )
+        scans.append(
+            (
+                lambda: _dc_events(mcu_blocks(), tids, 0, True, ri),
+                list(range(len(comps))),
+                0,
+                0,
+                1,
+                0,
+            )
+        )
+        for ci in range(len(comps)):
+            for ss, se in bands0 if ci == 0 else [(1, 63)]:
+                scans.append(
+                    (
+                        lambda ci=ci, ss=ss, se=se: _ac_refine_events(
+                            raster(ci), tids[ci], ss, se, 0, ri
+                        ),
+                        [ci],
+                        ss,
+                        se,
+                        1,
+                        0,
+                    )
+                )
+    else:
 
-    # symbol stream: (class_key, symbol, extra_value, extra_bits)
-    stream: list[tuple[tuple[int, int], int, int, int]] = []
-    preds = [0] * len(comps)
-    block_idx = [0] * len(comps)
-    n_rst = 0
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            stream.append(((-1, -1), 0xD0 + (n_rst % 8), 0, 0))  # RST sentinel
-            n_rst += 1
-            preds = [0] * len(comps)
-        for ci, (_cid, ch, cv, _tq, _p) in enumerate(comps):
-            tid = 0 if ci == 0 else 1  # luma tables / chroma tables
-            for _ in range(ch * cv):
-                _mcu, zz = per_comp[ci][block_idx[ci]]
-                block_idx[ci] += 1
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                s = _category(diff)
-                extra = diff if diff >= 0 else diff + (1 << s) - 1
-                stream.append(((0, tid), s, extra, s))
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        stream.append(((1, tid), 0xF0, 0, 0))
-                        run -= 16
-                    v = int(zz[i])
-                    s = _category(v)
-                    extra = v if v >= 0 else v + (1 << s) - 1
-                    stream.append(((1, tid), (run << 4) | s, extra, s))
+        def baseline_events():
+            preds = {}
+            n_rst = 0
+            for u, blocks in enumerate(mcu_blocks()):
+                if ri and u and u % ri == 0:
+                    yield ("rst", n_rst % 8, 0)
+                    n_rst += 1
+                    preds = {}
+                for ci, zz in blocks:
+                    diff = int(zz[0]) - preds.get(ci, 0)
+                    preds[ci] = int(zz[0])
+                    s = _category(diff)
+                    yield ("sym", (0, tids[ci]), s)
+                    if s:
+                        yield ("bits", *_ebits(diff, s))
+                    last = max((i for i in range(1, 64) if zz[i]), default=0)
                     run = 0
-                if last_nz < 63:
-                    stream.append(((1, tid), 0x00, 0, 0))  # EOB
+                    for i in range(1, last + 1):
+                        v = int(zz[i])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            yield ("sym", (1, tids[ci]), 0xF0)
+                            run -= 16
+                        s = _category(v)
+                        yield ("sym", (1, tids[ci]), (run << 4) | s)
+                        yield ("bits", *_ebits(v, s))
+                        run = 0
+                    if last < 63:
+                        yield ("sym", (1, tids[ci]), 0x00)
 
-    # fixed-length Huffman tables over the symbols actually used
+        scans = [(baseline_events, list(range(len(comps))), 0, 63, 0, 0)]
+
+    # pass 1: collect used symbols per table
     used: dict[tuple[int, int], set[int]] = {}
-    for key, sym, _e, _n in stream:
-        if key != (-1, -1):
-            used.setdefault(key, set()).add(sym)
+    for factory, *_rest in scans:
+        for ev in factory():
+            if ev[0] == "sym":
+                used.setdefault(ev[1], set()).add(ev[2])
     tables = {key: _fixed_table(syms) for key, syms in used.items()}
 
     out = bytearray(b"\xff\xd8")
@@ -480,34 +839,35 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> None:
         out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
 
-    qbytes = bytes(int(q) for q in qtab)
-    seg(0xDB, b"\x00" + qbytes)  # Pq=0, Tq=0 shared by all components
+    seg(0xDB, b"\x00" + bytes(int(q) for q in qtab))  # Pq=0, Tq=0 shared
     sof = struct.pack(">BHHB", 8, h_img, w_img, len(comps))
     for cid, ch, cv, tq, _p in comps:
         sof += bytes([cid, (ch << 4) | cv, tq])
-    seg(0xC0, sof)
+    seg(0xC2 if progressive else 0xC0, sof)
     for (tc, th), (counts, vals, _enc) in sorted(tables.items()):
         seg(0xC4, bytes([(tc << 4) | th] + counts + vals))
-    if restart_interval:
-        seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([len(comps)])
-    for ci, (cid, _ch, _cv, _tq, _p) in enumerate(comps):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([cid, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al — fixed for baseline
-    seg(0xDA, sos)
+    if ri:
+        seg(0xDD, struct.pack(">H", ri))
 
-    w = _BitWriter()
-    for key, sym, extra, nbits in stream:
-        if key == (-1, -1):  # restart marker: byte-align, emit raw
-            w.flush()
-            w.out.extend(bytes([0xFF, sym]))
-            continue
-        code, length = tables[key][2][sym]
-        w.write(code, length)
-        if nbits:
-            w.write(extra, nbits)
-    w.flush()
-    out.extend(w.out)
+    # pass 2: emit each scan
+    for factory, comp_ids, ss, se, ah, al in scans:
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            cid = comps[ci][0]
+            sos += bytes([cid, (tids[ci] << 4) | tids[ci]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        w = _BitWriter()
+        for ev in factory():
+            if ev[0] == "rst":
+                w.flush()
+                w.out.extend(bytes([0xFF, 0xD0 + ev[1]]))
+            elif ev[0] == "sym":
+                code, length = tables[ev[1]][2][ev[2]]
+                w.write(code, length)
+            else:
+                w.write(ev[1], ev[2])
+        w.flush()
+        out.extend(w.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

@@ -7,7 +7,7 @@ Pure stdlib byte parsing of public container specs:
 
 * :func:`probe_image_dims` — BMP (BITMAPINFOHEADER), PNG (IHDR), JPEG
   (any SOFn marker — dimensions are in the frame header even for
-  progressive streams whose full decode we honestly refuse).
+  frame types whose full decode we honestly refuse).
 * :func:`scan_mp3` — MPEG-1 Layer III frame-header walk (ISO 11172-3):
   ID3v2 skip, per-frame bitrate/samplerate/padding, exact duration from
   frame count × 1152 samples; mean bitrate so VBR streams report

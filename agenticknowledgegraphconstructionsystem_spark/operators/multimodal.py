@@ -317,12 +317,12 @@ def decode_image_any(
     payload: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Magic-byte dispatch over the real-decode image tier: BMP
-    (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline JPEG
-    (functions/jpeg.py) or lossless WebP (functions/vp8l.py) →
-    (w, h, rows).  Raises ValueError for anything else (TIFF/GIF/... stay
-    honest NotImplementedError territory in the mapInPandas wrappers);
-    progressive JPEG and lossy/animated WebP raise NotImplementedError
-    from their codecs."""
+    (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline or
+    progressive JPEG (functions/jpeg.py) or lossless WebP
+    (functions/vp8l.py) → (w, h, rows).  Raises ValueError for anything
+    else (TIFF/GIF/... stay honest NotImplementedError territory in the
+    mapInPandas wrappers); arithmetic-coded JPEG and lossy/animated WebP
+    raise NotImplementedError from their codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:

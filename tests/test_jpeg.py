@@ -9,6 +9,7 @@ encoder→decoder roundtrips with known tolerance envelopes."""
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
@@ -130,15 +131,206 @@ def test_grayscale_and_restart_markers():
     assert base == rst
 
 
-def test_progressive_raises_honestly():
+def test_unsupported_frames_raise_honestly():
     rows = [[(0, 0, 0)] * 8 for _ in range(8)]
     payload = bytearray(encode_jpeg(rows, grayscale=True))
     i = payload.index(bytes([0xFF, 0xC0]))
-    payload[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    payload[i + 1] = 0xC3  # rewrite SOF0 → SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(payload))
+    payload[i + 1] = 0xC9  # SOF9 (arithmetic-coded sequential)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
+
+
+@pytest.mark.parametrize(
+    "kw,shape",
+    [
+        (dict(grayscale=True), (9, 10)),
+        (dict(), (24, 16)),
+        (dict(chroma_subsample=2), (20, 12)),
+        (dict(restart_interval=2), (16, 32)),
+        (dict(quant=16), (40, 40)),
+    ],
+    ids=["gray", "444", "420", "rst", "coarse"],
+)
+def test_progressive_decodes_same_pixels_as_baseline(kw, shape):
+    """A progressive encoding carries the SAME quantized coefficients as
+    the baseline encoding, just reordered across scans — so decoding
+    both must give byte-identical pixels.  Covers DC first+refine, split
+    spectral AC bands, AC refinement with buffered correction bits,
+    cross-block EOB runs (coarse quant → many all-zero bands), and
+    per-scan restart markers."""
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, shape + (3,))
+    rows = [[tuple(int(v) for v in px) for px in r] for r in img]
+    base = decode_jpeg(encode_jpeg(rows, **kw))
+    prog = decode_jpeg(encode_jpeg(rows, progressive=True, **kw))
+    assert prog == base
+
+
+def _handmade_progressive_jpeg(quant: int) -> bytes:
+    """Hand-assemble a 16×8 grayscale PROGRESSIVE JPEG (two blocks A, B)
+    byte-by-byte, independent of encode_jpeg: four scans exercising DC
+    first (Al=1), AC first with an EOB run that skips block B, DC
+    refinement bits, and AC refinement with an EOB run carrying a
+    correction bit.  Final coefficients: A has DC=6 and coefficient 2 at
+    zig-zag index 1; B has DC=-3 (× quant)."""
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    def scan(header, bits):
+        seg(0xDA, header)
+        padded = bits + "1" * (-len(bits) % 8)
+        out.extend(int(padded[i : i + 8], 2) for i in range(0, len(padded), 8))
+
+    seg(0xDB, b"\x00" + bytes([quant] * 64))
+    seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: categories 0..11 as fixed 4-bit codes 0..11
+    seg(0xC4, bytes([0x00] + [0, 0, 0, 12] + [0] * 12 + list(range(12))))
+    # AC table 0: (0,1) → '00', EOB1 (0x10) → '01'
+    seg(0xC4, bytes([0x10] + [0, 2] + [0] * 14 + [0x01, 0x10]))
+    # scan 1 — DC first, Al=1: A diff 3 (cat 2 '0010' + '11'),
+    # B diff -5 (cat 3 '0011' + '010') → DCs 3<<1=6, (3-5)<<1=-4
+    scan(bytes([1, 1, 0x00, 0, 0, 0x01]), "0010" + "11" + "0011" + "010")
+    # scan 2 — AC first 1..63, Al=1: A: (run0,size1) '00' + value '1'
+    # (→ coef 1<<1 = 2 at zz 1), then EOB run '01' + 1 extra bit '0'
+    # (eobrun = 2^1-1+0 = 1 → block B skipped entirely)
+    scan(bytes([1, 1, 0x00, 1, 63, 0x01]), "00" + "1" + "01" + "0")
+    # scan 3 — DC refinement to Al=0: raw bits 6&1=0 for A, then 1 for B
+    # (-4 | 1 = -3)
+    scan(bytes([1, 1, 0x00, 0, 0, 0x10]), "0" + "1")
+    # scan 4 — AC refinement 1..63 to Al=0: EOB run of 2 ('01' + extra
+    # '0' → eobrun = 2^1+0 = 2 covers both blocks) followed by the
+    # correction bit '0' for A's nonzero-history coefficient (2 stays 2)
+    scan(bytes([1, 1, 0x00, 1, 63, 0x10]), "01" + "0" + "0")
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_handmade_progressive_matches_reference_idct():
+    """Decoder-only ground truth for the progressive path: the
+    hand-assembled four-scan stream must reconstruct exactly the pixels
+    the from-the-formula IDCT gives for its known final coefficients."""
+    q = 16
+    w, h, rows = decode_jpeg(_handmade_progressive_jpeg(q))
+    assert (w, h) == (16, 8)
+    coef_a = np.zeros((8, 8))
+    coef_a[0, 0] = 6 * q
+    coef_a[ZIGZAG[1]] = 2 * q
+    coef_b = np.zeros((8, 8))
+    coef_b[0, 0] = -3 * q
+    want = np.concatenate(
+        [
+            np.clip(np.round(_idct_ref(coef_a)), 0, 255),
+            np.clip(np.round(_idct_ref(coef_b)), 0, 255),
+        ],
+        axis=1,
+    ).astype(int)
+    got = np.array([[px[0] for px in row] for row in rows])
+    assert np.array_equal(got, want)
+
+
+_MINI_DJPEG_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <jpeglib.h>
+int main(void) {
+  size_t cap = 1 << 20, n = 0, r;
+  unsigned char *buf = malloc(cap);
+  while ((r = fread(buf + n, 1, cap - n, stdin)) > 0) {
+    n += r;
+    if (n == cap) { cap *= 2; buf = realloc(buf, cap); }
+  }
+  struct jpeg_decompress_struct cinfo;
+  struct jpeg_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr);
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, n);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.dct_method = JDCT_FLOAT;
+  cinfo.do_fancy_upsampling = FALSE; /* sample replication, like ours */
+  jpeg_start_decompress(&cinfo);
+  printf("P6\n%u %u\n255\n", cinfo.output_width, cinfo.output_height);
+  JSAMPROW row = malloc((size_t)cinfo.output_width * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    jpeg_read_scanlines(&cinfo, &row, 1);
+    fwrite(row, 3, cinfo.output_width, stdout);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+"""
+
+
+@pytest.fixture(scope="session")
+def mini_djpeg(tmp_path_factory):
+    """Compile a 30-line libjpeg decoder as an independent differential
+    oracle (subprocess-contained: libjpeg's default error path exits).
+    Skips when the host lacks gcc or jpeglib.h."""
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None or not os.path.exists("/usr/include/jpeglib.h"):
+        pytest.skip("no gcc/jpeglib on this host")
+    d = tmp_path_factory.mktemp("jpegdiff")
+    src = d / "mini_djpeg.c"
+    src.write_text(_MINI_DJPEG_C)
+    exe = d / "mini_djpeg"
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), str(src), "-ljpeg"], check=True
+    )
+
+    def run(payload: bytes) -> np.ndarray:
+        out = subprocess.run(
+            [str(exe)], input=payload, capture_output=True, check=True
+        ).stdout
+        assert out[:2] == b"P6"
+        head, dims, maxv, body = out.split(b"\n", 3)
+        w, h = map(int, dims.split())
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3).astype(int)
+
+    return run
+
+
+@pytest.mark.parametrize(
+    "kw,shape",
+    [
+        (dict(grayscale=True), (9, 10)),
+        (dict(), (24, 16)),
+        (dict(chroma_subsample=2), (20, 12)),
+        (dict(restart_interval=2), (16, 32)),
+        (dict(quant=16), (40, 40)),
+    ],
+    ids=["gray", "444", "420", "rst", "coarse"],
+)
+def test_differential_vs_libjpeg(mini_djpeg, kw, shape):
+    """libjpeg as an independent oracle for BOTH encoders and the
+    decoder: (1) libjpeg accepts our baseline and progressive streams
+    and decodes them to IDENTICAL pixels (the two encodings carry the
+    same coefficients — any scan-script bug would desync its entropy
+    decoder, not just perturb pixels); (2) our decoder matches libjpeg
+    within the known IDCT/color-convert rounding envelope (float DCT,
+    fixed-point YCbCr: ±2)."""
+    rng = np.random.RandomState(1234)
+    img = rng.randint(0, 256, shape + (3,))
+    if kw.get("grayscale"):
+        img[..., 1] = img[..., 0]
+        img[..., 2] = img[..., 0]
+    rows = [[tuple(int(v) for v in px) for px in r] for r in img]
+    jb = encode_jpeg(rows, **kw)
+    jp = encode_jpeg(rows, progressive=True, **kw)
+    lib_b, lib_p = mini_djpeg(jb), mini_djpeg(jp)
+    assert np.array_equal(lib_b, lib_p)
+    ours = np.array(decode_jpeg(jb)[2], dtype=int)
+    assert np.abs(ours - lib_b).max() <= 2
+    assert np.array_equal(ours, np.array(decode_jpeg(jp)[2], dtype=int))
 
 
 def test_decode_images_real_jpeg_through_mapinpandas(spark):
