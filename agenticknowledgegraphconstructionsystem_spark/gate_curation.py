@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from . import semantics as S
 from .gate_links import LINK_SUITE_MEMBERS
+from .gate_structured import STRUCT_SUITE_MEMBERS
 from .gate_suites import suite_oracle, suite_query
 from .gate_textdata import (
     _docs,
@@ -886,6 +887,8 @@ _URL_SUITE = [
      ["doc_id", "url"]),
     # link-graph tier (operators/links.py) — members live in gate_links.py
     *LINK_SUITE_MEMBERS,
+    # structured-data tier (operators/structured.py) — gate_structured.py
+    *STRUCT_SUITE_MEMBERS,
 ]
 
 _CURATE_SUITE = [
@@ -949,6 +952,7 @@ CURATION_ORACLES = {
 #: members ride gate_textdata.TEXT_MICRO_QUERIES)
 CURATION_MICRO_QUERIES = {
     **{f"td_{g}": fn for g, fn, _sql, _cols in LINK_SUITE_MEMBERS},
+    **{f"td_{g}": fn for g, fn, _sql, _cols in STRUCT_SUITE_MEMBERS},
     "td_url_norm": q_url_norm,
     "td_latest_capture": q_latest_capture,
     "td_cap_domain": q_cap_domain,
@@ -969,6 +973,7 @@ CURATION_MICRO_QUERIES = {
 
 CURATION_MICRO_ORACLES = {
     **{f"td_{g}": sql for g, _fn, sql, _cols in LINK_SUITE_MEMBERS},
+    **{f"td_{g}": sql for g, _fn, sql, _cols in STRUCT_SUITE_MEMBERS},
     "td_url_norm": O_URL_NORM,
     "td_latest_capture": O_LATEST_CAPTURE,
     "td_cap_domain": O_CAP_DOMAIN,

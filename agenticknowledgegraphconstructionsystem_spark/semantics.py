@@ -196,6 +196,48 @@ ANCHOR_TEXT_RE = r">([^<]*)</[Aa]>$"
 #: resolved candidate is then normalized by urls.normalize_url.
 LINK_SCHEMES = ("http", "https")
 
+#: Structured-data (schema.org JSON-LD) extraction — how production
+#: web-scale KG builds bootstrap typed entities before touching free
+#: text.  JSONLD_SCRIPT_RE matches one whole
+#: <script type="application/ld+json">…</script> element whose body
+#: carries no '<' (real JSON-LD payloads don't; blocks that do are
+#: dropped whole — same documented rule-not-parser stance as
+#: ANCHOR_TAG_RE).  Java-regex ∩ RE2 subset; group 0 feeds
+#: regexp_extract_all in both engines, JSONLD_BODY_RE group 1 pulls the
+#: JSON text.
+JSONLD_SCRIPT_RE = (
+    r"<[Ss][Cc][Rr][Ii][Pp][Tt]\s[^>]*[Tt][Yy][Pp][Ee]\s*=\s*"
+    r"[\"\x27]application/ld\+json[\"\x27][^>]*>[^<]*"
+    r"</[Ss][Cc][Rr][Ii][Pp][Tt]>"
+)
+JSONLD_BODY_RE = r">([^<]*)</[Ss][Cc][Rr][Ii][Pp][Tt]>$"
+
+#: Target property vocabulary for jsonld_triples (operators/
+#: structured.py): (predicate, JSONPath candidates tried in coalesce
+#: order).  A fixed vocabulary — not key explosion — keeps the
+#: extraction engine-portable and is how real KG pipelines work (a
+#: target schema, not "every key wins").  Paths use the dot syntax both
+#: Spark's get_json_object and DuckDB's json_extract_string accept,
+#: including the '@'-keys; nested one-level '.name' paths pull the
+#: display name out of object-valued properties with a raw fallback.
+#: Spark returns NULL on malformed JSON while DuckDB raises — the gate
+#: fixtures emit only valid JSON, and the operator's graceful-null
+#: behavior is pinned in tests/test_structured.py instead.
+JSONLD_ID_PATHS = ("$.@id", "$.url", "$.name")
+JSONLD_TYPE_PATH = "$.@type"
+JSONLD_PROPS = (
+    ("name", ("$.name",)),
+    ("headline", ("$.headline",)),
+    ("description", ("$.description",)),
+    ("url", ("$.url",)),
+    ("sameAs", ("$.sameAs",)),
+    ("datePublished", ("$.datePublished",)),
+    ("author", ("$.author.name", "$.author")),
+    ("publisher", ("$.publisher.name", "$.publisher")),
+    ("jobTitle", ("$.jobTitle",)),
+    ("worksFor", ("$.worksFor.name", "$.worksFor")),
+)
+
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
