@@ -196,6 +196,26 @@ ANCHOR_TEXT_RE = r">([^<]*)</[Aa]>$"
 #: resolved candidate is then normalized by urls.normalize_url.
 LINK_SCHEMES = ("http", "https")
 
+#: Page-policy extraction (operators/policy.py + its DuckDB twin):
+#: rel=canonical links and robots-meta directives — the two in-page
+#: signals a Common-Crawl curation pass must honor before dedup/index.
+#: Same Java-regex ∩ RE2 subset and rule-not-parser stance as
+#: ANCHOR_TAG_RE: whole <link ...> / <meta ...> tags with quoted
+#: attribute values; rel/name matched case-insensitively; href/content
+#: read via HREF_ATTR_RE / CONTENT_ATTR_RE group 1.
+LINK_TAG_RE = r"<[Ll][Ii][Nn][Kk]\s[^>]*>"
+META_TAG_RE = r"<[Mm][Ee][Tt][Aa]\s[^>]*>"
+REL_CANONICAL_RE = (
+    r"[Rr][Ee][Ll]\s*=\s*[\"\x27][Cc][Aa][Nn][Oo][Nn][Ii][Cc][Aa][Ll][\"\x27]"
+)
+NAME_ROBOTS_RE = r"[Nn][Aa][Mm][Ee]\s*=\s*[\"\x27][Rr][Oo][Bb][Oo][Tt][Ss][\"\x27]"
+CONTENT_ATTR_RE = r"[Cc][Oo][Nn][Tt][Ee][Nn][Tt]\s*=\s*[\"\x27]([^\"\x27>]*)[\"\x27]"
+#: robots content directives are comma-separated tokens; membership is
+#: tested on the LOWERCASED content with these anchored-token patterns
+#: (unanchored search semantics — rlike / regexp_matches)
+NOINDEX_TOKEN_RE = r"(^|,)\s*noindex\s*(,|$)"
+NOFOLLOW_TOKEN_RE = r"(^|,)\s*nofollow\s*(,|$)"
+
 #: Structured-data (schema.org JSON-LD) extraction — how production
 #: web-scale KG builds bootstrap typed entities before touching free
 #: text.  JSONLD_SCRIPT_RE matches one whole
