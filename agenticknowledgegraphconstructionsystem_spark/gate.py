@@ -179,6 +179,13 @@ def q_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in corpus size at any sf
 WARC_GATE_DOCS = 200
 
+#: the NEXT slice of docs travels through a REAL WET sidecar file (the
+#: pre-extracted conversion records most text pipelines actually start
+#: from): extraction runs driver-side via the shared pure fn, the text
+#: rides a gzip WET file through read_wet_pages, and extract_docs' P1
+#: content fallback must reproduce the direct html branch byte-for-byte
+WET_GATE_DOCS = 120
+
 
 def _warc_roundtrip_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
     """Serialize ``pages`` rows into an actual gzip WARC file under /tmp
@@ -215,6 +222,48 @@ def _warc_roundtrip_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
     return read_warc_pages(spark, wdir)
 
 
+def _wet_roundtrip_pages(
+    spark: SparkSession, pages: DataFrame
+) -> tuple[DataFrame, list[str]]:
+    """Serialize ``pages``' EXTRACTED text (semantics.extract_text_from_html
+    — the same pure fn the Arrow UDF wraps) into an actual gzip WET file
+    under /tmp (content-addressed, atomic, reused across repeats) and read
+    it back through :func:`sources.warc.read_wet_pages`.  Returns the WET
+    pages plus the urls whose extraction is None (a WET conversion record
+    cannot represent "nothing extracted" — an empty body reads back as ''
+    not NULL — so those rows must stay on the direct html branch)."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    from . import semantics as _S
+    from .sources.warc import read_wet_pages, write_wet
+
+    rows = pages.select("url", "warc_ts", "html").orderBy("url").collect()
+    recs = []
+    skipped: list[str] = []
+    for r in rows:
+        text = _S.extract_text_from_html(bytes(r["html"]))
+        if text is None:
+            skipped.append(r["url"])
+            continue
+        recs.append(
+            (r["url"], r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ"), text)
+        )
+    blob = gzip.compress(write_wet(recs))
+    digest = hashlib.md5(blob).hexdigest()
+    wdir = os.path.join(tempfile.gettempdir(), f"wet_gate_{digest}")
+    target = os.path.join(wdir, "crawl-00000.warc.wet.gz")
+    if not os.path.exists(target):
+        os.makedirs(wdir, exist_ok=True)
+        tmp = target + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, target)
+    return read_wet_pages(spark, wdir), skipped
+
+
 def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 byte-identical extraction through the REAL html path: documents
     are wrapped into pages html (sources.pages.pages_from_documents, text
@@ -224,10 +273,13 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The first :data:`WARC_GATE_DOCS` docs additionally travel through a
     REAL WARC file (sources/warc.py — serialize, gzip, binaryFile scan,
-    mapInPandas parse) before extraction, so the Common-Crawl first mile
-    has a driver-visible CORRECTNESS row: any transport corruption
-    (framing, gzip, header stripping, date parse) breaks this gate's
-    hash.  The oracle is transport-independent by design.
+    mapInPandas parse) before extraction, and the next
+    :data:`WET_GATE_DOCS` docs through a REAL WET sidecar (conversion
+    records carrying the pre-extracted text; extract_docs' P1 content
+    fallback must keep it verbatim), so BOTH Common-Crawl first miles
+    have driver-visible CORRECTNESS rows: any transport corruption
+    (framing, gzip, header stripping, date parse, fallback drift) breaks
+    this gate's hash.  The oracle is transport-independent by design.
 
     Assumption (probed, holds for the driver corpus): documents.text is
     tag-free.  A '<...>' substring in text would be stripped by the real
@@ -245,10 +297,22 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc_branch = _warc_roundtrip_pages(
         spark, pages.where((docid < WARC_GATE_DOCS) & F.col("html").isNotNull())
     )
-    direct_branch = pages.where(
-        (docid >= WARC_GATE_DOCS) | F.col("html").isNull()
+    wet_hi = WARC_GATE_DOCS + WET_GATE_DOCS
+    wet_branch, wet_skipped = _wet_roundtrip_pages(
+        spark,
+        pages.where(
+            (docid >= WARC_GATE_DOCS) & (docid < wet_hi) & F.col("html").isNotNull()
+        ),
     )
-    docs = extract_docs(warc_branch.unionByName(direct_branch))
+    direct = (docid >= wet_hi) | F.col("html").isNull()
+    if wet_skipped:
+        direct = direct | (
+            (docid >= WARC_GATE_DOCS) & F.col("url").isin(*wet_skipped)
+        )
+    direct_branch = pages.where(direct)
+    docs = extract_docs(
+        warc_branch.unionByName(wet_branch).unionByName(direct_branch)
+    )
     return docs.select(
         F.replace(F.col("url"), F.lit("https://example.org/doc/"), F.lit(""))
         .cast(_BIG)
