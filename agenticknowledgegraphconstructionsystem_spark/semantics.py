@@ -216,6 +216,22 @@ CONTENT_ATTR_RE = r"[Cc][Oo][Nn][Tt][Ee][Nn][Tt]\s*=\s*[\"\x27]([^\"\x27>]*)[\"\
 NOINDEX_TOKEN_RE = r"(^|,)\s*noindex\s*(,|$)"
 NOFOLLOW_TOKEN_RE = r"(^|,)\s*nofollow\s*(,|$)"
 
+#: robots.txt parsing (operators/robots.py + its DuckDB twin) — the
+#: crawl-protocol file itself (RFC 9309).  Line grammar: strip the
+#: comment tail, then 'field: value' with the field read
+#: case-insensitively.  Rule paths must start with '/' and rules whose
+#: path carries a '*' or '$' wildcard are dropped whole (the literal-
+#: prefix subset — same documented rule-not-parser stance as
+#: ANCHOR_TAG_RE; wildcard expansion is not portably SQL-expressible).
+#: Matching: the most specific user-agent group wins (exact agent name
+#: beats '*'; contiguous User-agent lines share one group), the longest
+#: matching path prefix decides, allow wins length ties (Google
+#: semantics), no match = allowed, empty Disallow = no restriction.
+ROBOTS_COMMENT_RE = r"#.*$"
+ROBOTS_FIELD_RE = r"^\s*([A-Za-z-]+)\s*:"
+ROBOTS_VALUE_RE = r"^\s*[A-Za-z-]+\s*:\s*([^\s]*)"
+ROBOTS_WILDCARD_RE = r"[*$]"
+
 #: Structured-data (schema.org JSON-LD) extraction — how production
 #: web-scale KG builds bootstrap typed entities before touching free
 #: text.  JSONLD_SCRIPT_RE matches one whole
