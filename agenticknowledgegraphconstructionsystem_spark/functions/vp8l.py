@@ -601,9 +601,11 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
 
 
 def decode_webp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """RIFF/WEBP container → (w, h, rows[(r, g, b)]) for LOSSLESS (VP8L)
-    payloads, alpha dropped (the decode_image_any contract).  Lossy VP8
-    and animations raise NotImplementedError — the honest-raise tier."""
+    """RIFF/WEBP container → (w, h, rows[(r, g, b)]).  Lossless (VP8L)
+    decodes here; lossy (VP8) dispatches to functions/vp8.py's RFC 6386
+    keyframe decoder (bit-exact Y/U/V vs libwebp, then the documented
+    BT.601 fixed-point RGB conversion).  Alpha is dropped (the
+    decode_image_any contract).  Animations raise NotImplementedError."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
@@ -615,20 +617,19 @@ def decode_webp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int
             w, h, rows = decode_vp8l(body)
             return w, h, [[(r, g, b) for r, g, b, _a in row] for row in rows]
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) needs a full VP8 intra decoder; only "
-                "lossless (VP8L) decodes here"
-            )
+            from .vp8 import decode_vp8_rgb
+
+            return decode_vp8_rgb(body)
         if fourcc == b"ANIM" or fourcc == b"ANMF":
             raise NotImplementedError("animated WebP is not supported")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    raise ValueError("WebP: no VP8L chunk found")
+    raise ValueError("WebP: no VP8 or VP8L chunk found")
 
 
 def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
     """Header-only dimensions for the media catalog (media_metadata tier):
-    VP8L 14+14-bit size field, or the VP8X canvas size.  None if neither
-    chunk parses."""
+    VP8L 14+14-bit size field, the lossy VP8 keyframe 14-bit fields, or
+    the VP8X canvas size.  None if no size-bearing chunk parses."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     pos = 12
@@ -639,6 +640,10 @@ def webp_dimensions(payload: bytes) -> tuple[int, int] | None:
         if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
             v = int.from_bytes(body[1:5], "little")
             return (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+        if fourcc == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return w, h
         if fourcc == b"VP8X" and len(body) >= 10:
             wm1 = int.from_bytes(body[4:7], "little")
             hm1 = int.from_bytes(body[7:10], "little")

@@ -10,10 +10,12 @@ has two honest tiers:
   zlib), baseline JPEG (functions/jpeg.py — full sequential-DCT decode:
   Huffman → dequant → IDCT → chroma upsample → YCbCr), lossless WebP
   (functions/vp8l.py — full VP8L: all four transforms, color cache,
-  meta prefix codes, 2-D LZ77; differentially fuzzed against libwebp),
+  meta prefix codes, 2-D LZ77) and lossy WebP (functions/vp8.py — full
+  RFC 6386 VP8 keyframe decode; both differentially fuzzed against
+  libwebp),
   16-bit PCM WAV (:func:`decode_wav`) and Y4M video (:func:`decode_y4m`)
   — pixel/sample/frame values pytest-pinned — and raises
-  ``NotImplementedError`` for anything else (lossy WebP/MP3/H.264/...
+  ``NotImplementedError`` for anything else (MP3/H.264/...
   need libvips/librosa/ffmpeg, which this container does not ship).
 * ``decode_images(..., fake=True)`` substitutes a deterministic
   content-hash "decode" so the pipeline shape is exercised end to end on
@@ -318,11 +320,12 @@ def decode_image_any(
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Magic-byte dispatch over the real-decode image tier: BMP
     (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline or
-    progressive JPEG (functions/jpeg.py) or lossless WebP
-    (functions/vp8l.py) → (w, h, rows).  Raises ValueError for anything
-    else (TIFF/GIF/... stay honest NotImplementedError territory in the
-    mapInPandas wrappers); arithmetic-coded JPEG and lossy/animated WebP
-    raise NotImplementedError from their codecs."""
+    progressive JPEG (functions/jpeg.py), or lossless (functions/
+    vp8l.py) / lossy (functions/vp8.py) WebP → (w, h, rows).  Raises
+    ValueError for anything else (TIFF/GIF/... stay honest
+    NotImplementedError territory in the mapInPandas wrappers);
+    arithmetic-coded JPEG and animated WebP raise NotImplementedError
+    from their codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -367,9 +370,9 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     ``fake=False`` really decodes uncompressed 24-bit BMP payloads
     (stdlib ``struct``, :func:`decode_bmp`), 8-bit RGB/RGBA
     non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), baseline
-    JPEG (functions/jpeg.py) and lossless WebP (functions/vp8l.py), and
-    raises ``NotImplementedError`` for other formats (lossy WebP/TIFF
-    need PIL/libvips this container does not ship)."""
+    JPEG (functions/jpeg.py) and both WebP forms (functions/vp8l.py,
+    functions/vp8.py), and raises ``NotImplementedError`` for other
+    formats (TIFF/GIF need PIL/libvips this container does not ship)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

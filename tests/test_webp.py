@@ -149,9 +149,11 @@ def test_hand_built_lz77_backward_reference():
     assert rows == [[(9, 0, 3, 255)] * 4]
 
 
-def test_lossy_and_animated_raise():
+def test_animated_and_garbage_raise():
+    # Lossy VP8 now decodes (tests/test_vp8_lossy.py) - an EMPTY VP8
+    # chunk is a truncation error, not an honest-raise.
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="too short"):
         decode_webp(lossy)
     anim = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"ANIM" + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError, match="animated"):
