@@ -69,6 +69,9 @@ def probe_image_dims(payload: bytes) -> tuple[str, int, int]:
         if dims is not None:
             return "webp", dims[0], dims[1]
         raise ValueError("WebP without a parseable size header")
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return "gif", w, h
     raise ValueError("unrecognized image payload")
 
 

@@ -320,12 +320,12 @@ def decode_image_any(
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Magic-byte dispatch over the real-decode image tier: BMP
     (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline or
-    progressive JPEG (functions/jpeg.py), or lossless (functions/
-    vp8l.py) / lossy (functions/vp8.py) WebP → (w, h, rows).  Raises
-    ValueError for anything else (TIFF/GIF/... stay honest
-    NotImplementedError territory in the mapInPandas wrappers);
-    arithmetic-coded JPEG and animated WebP raise NotImplementedError
-    from their codecs."""
+    progressive JPEG (functions/jpeg.py), lossless (functions/vp8l.py)
+    / lossy (functions/vp8.py) WebP, or GIF87a/89a (functions/gif.py,
+    first composited frame) → (w, h, rows).  Raises ValueError for
+    anything else (TIFF stays honest NotImplementedError territory in
+    the mapInPandas wrappers); arithmetic-coded JPEG and animated WebP
+    raise NotImplementedError from their codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -338,7 +338,11 @@ def decode_image_any(
         from ..functions.vp8l import decode_webp
 
         return decode_webp(payload)
-    raise ValueError("not a BMP, PNG, JPEG, or WebP payload")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("not a BMP, PNG, JPEG, WebP, or GIF payload")
 
 
 def _bmp_features(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
@@ -370,9 +374,10 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     ``fake=False`` really decodes uncompressed 24-bit BMP payloads
     (stdlib ``struct``, :func:`decode_bmp`), 8-bit RGB/RGBA
     non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), baseline
-    JPEG (functions/jpeg.py) and both WebP forms (functions/vp8l.py,
-    functions/vp8.py), and raises ``NotImplementedError`` for other
-    formats (TIFF/GIF need PIL/libvips this container does not ship)."""
+    JPEG (functions/jpeg.py), both WebP forms (functions/vp8l.py,
+    functions/vp8.py) and GIF (functions/gif.py), and raises
+    ``NotImplementedError`` for other formats (TIFF needs
+    PIL/libvips this container does not ship)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -389,8 +394,8 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                     except ValueError as e:
                         raise NotImplementedError(
                             "real decode supports uncompressed 24-bit BMP, "
-                            "8-bit RGB/RGBA PNG, baseline JPEG, and "
-                            "lossless WebP (stdlib+numpy); other formats "
+                            "8-bit RGB/RGBA PNG, baseline JPEG, WebP, and "
+                            "GIF (stdlib+numpy); other formats "
                             "need PIL/libvips — "
                             f"payload rejected: {e}"
                         ) from e
@@ -668,11 +673,14 @@ def decode_video_frames(
     """mapInPandas frame sampling with decode: every ``every_n``-th frame
     becomes one output row carrying the raw luma plane and its integer
     mean (×1000, floor).  ``fake=False`` really parses Y4M payloads
-    (:func:`decode_y4m`, stdlib) and raises for compressed codecs (ffmpeg
-    territory); the fake path synthesizes digest-based frames so the
-    explode shape is exercised on arbitrary payloads.  Output payload
-    volume is bounded by (frames/every_n)·w·h regardless of input
-    container overhead — the property shuffle planning needs."""
+    (:func:`decode_y4m`, stdlib) and animated GIF (functions/gif.py —
+    a REAL compressed codec: composited frames → integer Rec.601 luma,
+    the same ×1000 floor as :func:`_bmp_features`), and raises for
+    other codecs (ffmpeg territory); the fake path synthesizes
+    digest-based frames so the explode shape is exercised on arbitrary
+    payloads.  Output payload volume is bounded by (frames/every_n)·w·h
+    regardless of input container overhead — the property shuffle
+    planning needs."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -690,11 +698,26 @@ def decode_video_frames(
                         )
                     continue
                 try:
-                    w, h, _cs, frames = decode_y4m(bytes(p))
+                    pb = bytes(p)
+                    if pb[:6] in (b"GIF87a", b"GIF89a"):
+                        from ..functions.gif import decode_gif_frames
+
+                        w, h, gframes = decode_gif_frames(pb)
+                        frames = [
+                            bytes(
+                                (r * 299 + g * 587 + b * 114) // 1000
+                                for row in rgb
+                                for r, g, b in row
+                            )
+                            for _delay, rgb in gframes
+                        ]
+                    else:
+                        w, h, _cs, frames = decode_y4m(pb)
                 except ValueError as e:
                     raise NotImplementedError(
-                        "real decode supports uncompressed Y4M only "
-                        f"(stdlib); compressed codecs need ffmpeg — {e}"
+                        "real decode supports uncompressed Y4M and "
+                        "animated GIF (stdlib); other codecs need "
+                        f"ffmpeg — {e}"
                     ) from e
                 for i in range(0, len(frames), every_n):
                     y = frames[i]
@@ -739,9 +762,23 @@ def _probe_one(p: bytes) -> tuple:
 
     try:
         fmt, w, h = probe_image_dims(p)
-        return (fmt, w, h, None, None, None, None, None)
     except ValueError:
         pass
+    else:
+        if fmt != "gif":
+            return (fmt, w, h, None, None, None, None, None)
+        # GIF: the 6-byte signature alone proves nothing — the
+        # block-framing walk (never inflates LZW) is the validator and
+        # yields frame count + summed GCE delays, like Y4M's FRAME
+        # count; an unwalkable body degrades to the unknown tail below
+        from ..functions.gif import gif_meta
+
+        try:
+            _w, _h, n_frames, dur = gif_meta(p)
+            return ("gif", w, h, dur if dur else None, None, None,
+                    n_frames, "gif-lzw")
+        except ValueError:
+            pass
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         # fmt-chunk walk only (decode_wav would materialize all samples)
         pos, rate, channels, data_len = 12, None, None, 0

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from agenticknowledgegraphconstructionsystem_spark.functions.gif import encode_gif
 from agenticknowledgegraphconstructionsystem_spark.functions.jpeg import encode_jpeg
 from agenticknowledgegraphconstructionsystem_spark.functions.mediameta import (
     build_mp4,
@@ -35,8 +36,12 @@ def test_probe_image_dims_all_formats():
     i = b.index(bytes([0xFF, 0xC0]))
     b[i + 1] = 0xC2
     assert probe_image_dims(bytes(b)) == ("jpeg", 16, 8)
+    # GIF dims come straight from the logical screen descriptor
+    gif = encode_gif((5, 3), [{"rows": [[0] * 5] * 3}],
+                     global_palette=[(1, 2, 3), (4, 5, 6)])
+    assert probe_image_dims(gif) == ("gif", 5, 3)
     with pytest.raises(ValueError):
-        probe_image_dims(b"GIF89a not supported")
+        probe_image_dims(b"II*\x00 tiff stays unprobed")
 
 
 def test_scan_mp3_cbr_vbr_and_id3():
