@@ -72,6 +72,11 @@ def probe_image_dims(payload: bytes) -> tuple[str, int, int]:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
         w, h = struct.unpack_from("<HH", payload, 6)
         return "gif", w, h
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_dimensions
+
+        w, h = tiff_dimensions(payload)
+        return "tiff", w, h
     raise ValueError("unrecognized image payload")
 
 

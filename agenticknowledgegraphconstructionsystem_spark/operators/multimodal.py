@@ -321,11 +321,12 @@ def decode_image_any(
     """Magic-byte dispatch over the real-decode image tier: BMP
     (:func:`decode_bmp`), PNG (:func:`decode_png`), baseline or
     progressive JPEG (functions/jpeg.py), lossless (functions/vp8l.py)
-    / lossy (functions/vp8.py) WebP, or GIF87a/89a (functions/gif.py,
-    first composited frame) → (w, h, rows).  Raises ValueError for
-    anything else (TIFF stays honest NotImplementedError territory in
-    the mapInPandas wrappers); arithmetic-coded JPEG and animated WebP
-    raise NotImplementedError from their codecs."""
+    / lossy (functions/vp8.py) WebP, GIF87a/89a (functions/gif.py,
+    first composited frame), or baseline TIFF (functions/tiff.py)
+    → (w, h, rows).  Raises ValueError for anything else;
+    arithmetic-coded JPEG, animated WebP, and beyond-baseline TIFF
+    (fax/tiles/JPEG-in-TIFF) raise NotImplementedError from their
+    codecs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -342,7 +343,11 @@ def decode_image_any(
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)
-    raise ValueError("not a BMP, PNG, JPEG, WebP, or GIF payload")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..functions.tiff import decode_tiff
+
+        return decode_tiff(payload)
+    raise ValueError("not a BMP, PNG, JPEG, WebP, GIF, or TIFF payload")
 
 
 def _bmp_features(payload: bytes, dim: int) -> tuple[int, int, int, list[float]]:
@@ -375,9 +380,9 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
     (stdlib ``struct``, :func:`decode_bmp`), 8-bit RGB/RGBA
     non-interlaced PNG (stdlib ``zlib``, :func:`decode_png`), baseline
     JPEG (functions/jpeg.py), both WebP forms (functions/vp8l.py,
-    functions/vp8.py) and GIF (functions/gif.py), and raises
-    ``NotImplementedError`` for other formats (TIFF needs
-    PIL/libvips this container does not ship)."""
+    functions/vp8.py), GIF (functions/gif.py) and baseline TIFF
+    (functions/tiff.py), and raises ``NotImplementedError`` for
+    unrecognized formats."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,9 +399,9 @@ def decode_images(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFra
                     except ValueError as e:
                         raise NotImplementedError(
                             "real decode supports uncompressed 24-bit BMP, "
-                            "8-bit RGB/RGBA PNG, baseline JPEG, WebP, and "
-                            "GIF (stdlib+numpy); other formats "
-                            "need PIL/libvips — "
+                            "8-bit RGB/RGBA PNG, baseline JPEG, WebP, GIF, "
+                            "and baseline TIFF (stdlib+numpy); other "
+                            "formats need PIL/libvips — "
                             f"payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(

@@ -9,6 +9,7 @@ import pytest
 
 from agenticknowledgegraphconstructionsystem_spark.functions.gif import encode_gif
 from agenticknowledgegraphconstructionsystem_spark.functions.jpeg import encode_jpeg
+from agenticknowledgegraphconstructionsystem_spark.functions.tiff import encode_tiff
 from agenticknowledgegraphconstructionsystem_spark.functions.mediameta import (
     build_mp4,
     parse_mp4,
@@ -40,8 +41,12 @@ def test_probe_image_dims_all_formats():
     gif = encode_gif((5, 3), [{"rows": [[0] * 5] * 3}],
                      global_palette=[(1, 2, 3), (4, 5, 6)])
     assert probe_image_dims(gif) == ("gif", 5, 3)
+    tif = encode_tiff([[(1, 2, 3)] * 5] * 3)
+    assert probe_image_dims(tif) == ("tiff", 5, 3)
     with pytest.raises(ValueError):
-        probe_image_dims(b"II*\x00 tiff stays unprobed")
+        probe_image_dims(b"II*\x00\xff\xff\xff\xff broken IFD")
+    with pytest.raises(ValueError):
+        probe_image_dims(b"\x00\x01 not an image at all")
 
 
 def test_scan_mp3_cbr_vbr_and_id3():
