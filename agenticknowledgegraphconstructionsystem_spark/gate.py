@@ -219,7 +219,12 @@ def _warc_roundtrip_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, target)
-    return read_warc_pages(spark, wdir)
+    # http_aware runs the full crawl first mile (status/mime gate,
+    # transfer/content decoding, charset normalization) inside the
+    # driver window; on these 200/text-html/valid-UTF-8 fixtures the
+    # UTF-8 re-encode is the identity, so the byte-identical extraction
+    # oracle ALSO pins that the HTTP tier never mutates clean pages.
+    return read_warc_pages(spark, wdir, http_aware=True)
 
 
 def _wet_roundtrip_pages(

@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from .pages import PAGES_SCHEMA
 
@@ -101,6 +102,22 @@ def _walk_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
         pos = he + 4 + length
 
 
+def parse_warc_raw(data: bytes) -> list[tuple[str, str, bytes]]:
+    """WARC/1.x bytes → [(target_uri, warc_date, raw_body)] for every
+    ``response`` record with the HTTP response block INTACT — the input
+    the HTTP-aware tier (sources/http_meta.py) parses for status,
+    headers, and transport codings."""
+    return [
+        (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            body,
+        )
+        for headers, body in _walk_records(data)
+        if headers.get("warc-type") == "response"
+    ]
+
+
 def parse_warc(data: bytes) -> list[tuple[str, str, bytes]]:
     """WARC/1.x bytes → [(target_uri, warc_date, http_payload)] for every
     ``response`` record.  The HTTP response header block inside the body
@@ -152,6 +169,43 @@ def write_warc(records: list[tuple[str, str, bytes]]) -> bytes:
     return b"".join(out)
 
 
+def write_warc_http(records: list[dict]) -> bytes:
+    """Fixture writer for the HTTP-aware path: each record dict carries
+    ``url``, ``date``, ``payload`` (bytes) and optional ``status``
+    (200), ``reason`` ('OK'), ``content_type`` ('text/html'),
+    ``chunked`` (False — wrap the body in one chunk + terminator),
+    ``gzip_body`` (False — apply Content-Encoding: gzip), plus
+    ``extra_headers`` (list of raw header lines)."""
+    import gzip as _gzip
+
+    out = []
+    for rec in records:
+        payload = rec["payload"]
+        lines = [
+            f"HTTP/1.1 {rec.get('status', 200)} {rec.get('reason', 'OK')}",
+            f"Content-Type: {rec.get('content_type', 'text/html')}",
+        ]
+        if rec.get("gzip_body"):
+            payload = _gzip.compress(payload)
+            lines.append("Content-Encoding: gzip")
+        if rec.get("chunked"):
+            payload = (
+                f"{len(payload):x}\r\n".encode() + payload + b"\r\n0\r\n\r\n"
+            )
+            lines.append("Transfer-Encoding: chunked")
+        lines.extend(rec.get("extra_headers", []))
+        http = "\r\n".join(lines).encode() + b"\r\n\r\n" + payload
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: {rec['url']}\r\n"
+            f"WARC-Date: {rec['date']}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+        ).encode()
+        out.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+    return b"".join(out)
+
+
 def write_wet(records: list[tuple[str, str, str]]) -> bytes:
     """Inverse of :func:`parse_wet` (conversion records; body = UTF-8
     text, no HTTP block) — test-fixture writer."""
@@ -185,25 +239,111 @@ def _parse_warc_date(s: str) -> _dt.datetime:
         return WARC_TS_SENTINEL
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_pages(
+    spark: SparkSession,
+    path: str,
+    http_aware: bool = False,
+    statuses: tuple[int, ...] = (200,),
+    mime_prefixes: tuple[str, ...] = ("text/html",),
+) -> DataFrame:
     """WARC file(s) → the canonical pages DataFrame (url, warc_ts, html,
     text=NULL, lang=NULL).  ``binaryFile`` brings each WARC in as one
-    row; parsing runs executor-side in mapInPandas."""
+    row; parsing runs executor-side in mapInPandas.
+
+    ``http_aware=True`` runs the real crawl first mile per record
+    (sources/http_meta.py): parse the HTTP status line + headers, gate
+    on ``statuses`` and ``mime_prefixes`` BEFORE paying anything
+    downstream (records with no parseable status line or no
+    Content-Type pass the gate — on crawl data absence of evidence must
+    not drop pages), undo chunked transfer- and gzip/deflate
+    content-coding, detect the charset (BOM → header → meta prescan →
+    strict-UTF-8 trial → windows-1252) and NORMALIZE the html bytes to
+    UTF-8 — so every downstream byte invariant (extraction, dedup
+    hashes) sees one encoding regardless of what origins served.  Pages
+    already valid UTF-8 with no transfer/content coding round-trip
+    byte-identically (decode∘encode is the identity on valid UTF-8),
+    which is exactly what the driver-window WARC gate asserts."""
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .http_meta import decode_html_payload, http_payload_bytes
+
         for pdf in batches:
             rows = []
             for content in pdf["content"]:
-                for url, date, payload in parse_warc(bytes(content)):
-                    rows.append(
-                        (url, _parse_warc_date(date), payload, None, None)
-                    )
+                if http_aware:
+                    for url, date, body in parse_warc_raw(bytes(content)):
+                        status, ctype, raw = http_payload_bytes(body)
+                        if status is not None and status not in statuses:
+                            continue
+                        if ctype is not None and not ctype.strip().lower().startswith(
+                            mime_prefixes
+                        ):
+                            continue
+                        text, _cs = decode_html_payload(raw, ctype)
+                        rows.append(
+                            (url, _parse_warc_date(date),
+                             text.encode("utf-8"), None, None)
+                        )
+                else:
+                    for url, date, payload in parse_warc(bytes(content)):
+                        rows.append(
+                            (url, _parse_warc_date(date), payload, None, None)
+                        )
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
     return files.mapInPandas(fn, PAGES_SCHEMA)
+
+
+#: Catalog schema for :func:`read_warc_responses` — the gating pass a
+#: real crawl runs before extraction: group by status/mime/charset,
+#: size the keep-set, THEN decode only what survives.
+WARC_RESPONSES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("charset", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def read_warc_responses(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → one catalog row per ``response`` record: HTTP
+    status, media type (lowercased, parameters stripped), detected
+    charset (ladder steps 1-3; NULL = would fall to trial decode),
+    transport-normalized payload size and bytes.  Same binaryFile →
+    mapInPandas scale shape as :func:`read_warc_pages`."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .http_meta import detect_charset, http_payload_bytes
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, date, body in parse_warc_raw(bytes(content)):
+                    status, ctype, raw = http_payload_bytes(body)
+                    mime = (
+                        ctype.split(";", 1)[0].strip().lower() if ctype else None
+                    )
+                    cs, _src = detect_charset(ctype, raw)
+                    rows.append(
+                        (url, _parse_warc_date(date), status, mime, cs,
+                         len(raw), raw)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "status", "mime", "charset",
+                         "n_bytes", "payload"],
+            )
+
+    return files.mapInPandas(fn, WARC_RESPONSES_SCHEMA)
 
 
 def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
