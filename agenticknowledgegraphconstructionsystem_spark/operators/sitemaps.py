@@ -1,0 +1,271 @@
+"""Sitemap / feed URL discovery — how a web-scale crawl finds the urls
+it hasn't fetched yet, from the corpus it already has: XML sitemaps
+(the sitemaps.org protocol: <urlset> entries and <sitemapindex>
+children), ``Sitemap:`` directives in robots.txt (RFC 9309 §2.3 —
+group-independent lines), and RSS 2.0 / Atom (RFC 4287) feed items.
+The reference discovers new documents by calling search/citation APIs
+(fetch_papers.py:59-189, fetch_citing_papers.py:85-264); a
+Common-Crawl-style pipeline discovers them from sitemaps, feeds, and
+the link graph itself — this module is that first mile, composing with
+operators/links.py anchors into one deduplicated crawl frontier
+(``discovered_urls``).
+
+Extraction rule, not a parser (the ANCHOR_TAG_RE stance): whole
+<url>/<sitemap>/<item>/<entry> blocks match via the ``(?s)`` non-greedy
+semantics.SITEMAP_* patterns; child elements are plain
+``<tag>text</tag>`` with no nested markup.  Discovered candidates are
+whitespace-stripped (XML_STRIP_WS_RE — engine trim() only eats spaces,
+sitemap <loc> bodies are routinely newline-indented), XML-entity-
+unescaped (XML_ENTITIES, ``&amp;`` last), kept iff absolute http(s)
+(the sitemaps.org MUST-be-absolute rule; relative/ftp/mailto locs drop
+whole), and normalized by urls.normalize_url.  Everything is pure
+Column work from semantics constants, so the DuckDB twins in
+gate_sitemaps.py run identical semantics.  No UDFs.
+
+Scale shape (100 TB): block extraction is regexp_extract_all + explode
+— a generate inside the scan stage, zero exchanges; child pulls and
+the keep/normalize rules are pure projections.  ``discovered_urls`` is
+ONE shuffle (the groupBy url that merges sources) plus one left join
+against the distinct crawled-url set — both key on the normalized url,
+both AQE-skew-safe; nothing is quadratic in pages, and the frontier is
+linear in the reference count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import semantics as S
+from .urls import normalize_url, url_parts
+
+
+def xml_unescape(text: Column) -> Column:
+    """Sequential literal replaces of the five XML entities,
+    ``&amp;`` last (semantics.XML_ENTITIES order) so '&amp;lt;'
+    correctly yields '&lt;'."""
+    out = text
+    for ent, ch in S.XML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _clean(text: Column) -> Column:
+    """Strip leading/trailing whitespace (incl. newlines — engine trim
+    only eats spaces), then unescape XML entities; '' → NULL."""
+    return F.nullif(
+        xml_unescape(F.regexp_replace(text, S.XML_STRIP_WS_RE, "")),
+        F.lit(""),
+    )
+
+
+def _child(block: Column, pattern: str) -> Column:
+    """First <tag>text</tag> child match in an extracted block, cleaned;
+    NULL when the element is absent."""
+    return _clean(F.regexp_extract(block, pattern, 1))
+
+
+def abs_http_url(cand: Column) -> Column:
+    """Keep-and-normalize rule for discovered candidates: absolute
+    http(s) URLs normalize via urls.normalize_url; every other form
+    (relative, ftp:, mailto:, NULL) → NULL."""
+    scheme = F.lower(url_parts(cand)["scheme"])
+    return F.when(scheme.isin(*S.LINK_SCHEMES), normalize_url(cand))
+
+
+def _blocks(
+    pages: DataFrame,
+    kind_re: str,
+    block_re: str,
+    url_col: str,
+    body_col: str,
+    out_url: str,
+) -> DataFrame:
+    """(out_url, _b) — one row per extracted block on pages whose body
+    matches ``kind_re``.  Generate-only: no exchange."""
+    body = F.col(body_col).cast("string")
+    return pages.where(body.rlike(kind_re)).select(
+        F.col(url_col).alias(out_url),
+        F.explode(
+            F.regexp_extract_all(body, F.lit(block_re), F.lit(0))
+        ).alias("_b"),
+    )
+
+
+def sitemap_url_entries(
+    pages: DataFrame, url_col: str = "url", body_col: str = "html"
+) -> DataFrame:
+    """<urlset> sitemaps → one row per kept <url> entry:
+    (sitemap_url, loc, lastmod, changefreq, priority).  ``loc`` is the
+    cleaned+normalized absolute http(s) URL (entries whose loc is
+    relative/non-http drop whole); the optional children stay as
+    cleaned strings (NULL when absent) — ``priority`` deliberately
+    remains text ('0.8') so the value crosses engines exactly."""
+    b = _blocks(
+        pages, S.SITEMAP_URLSET_KIND_RE, S.SITEMAP_URL_BLOCK_RE,
+        url_col, body_col, "sitemap_url",
+    )
+    return (
+        b.select(
+            "sitemap_url",
+            abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("loc"),
+            _child(F.col("_b"), S.XML_LASTMOD_RE).alias("lastmod"),
+            _child(F.col("_b"), S.XML_CHANGEFREQ_RE).alias("changefreq"),
+            _child(F.col("_b"), S.XML_PRIORITY_RE).alias("priority"),
+        )
+        .where(F.col("loc").isNotNull())
+    )
+
+
+def sitemap_index_entries(
+    pages: DataFrame, url_col: str = "url", body_col: str = "html"
+) -> DataFrame:
+    """<sitemapindex> files → (sitemap_url, child_url): the child
+    sitemaps a crawler must fetch next.  Same clean/keep/normalize rule
+    as <urlset> locs."""
+    b = _blocks(
+        pages, S.SITEMAP_INDEX_KIND_RE, S.SITEMAP_CHILD_BLOCK_RE,
+        url_col, body_col, "sitemap_url",
+    )
+    return (
+        b.select(
+            "sitemap_url",
+            abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("child_url"),
+        )
+        .where(F.col("child_url").isNotNull())
+    )
+
+
+def feed_items(
+    pages: DataFrame, url_col: str = "url", body_col: str = "html"
+) -> DataFrame:
+    """RSS 2.0 <item>s and Atom <entry>s → (feed_url, kind, item_url,
+    title, published).  RSS links are element text (<link>…</link>);
+    Atom links are the href attribute of the entry's FIRST <link …>
+    tag (regexp_extract's first-match rule, identical both engines).
+    ``published`` is <pubDate> (RSS) / <updated> (Atom), cleaned text.
+    Items whose link is missing or non-http(s) drop whole — this is a
+    frontier feeder, not a feed reader.  A body matching both kind
+    patterns counts as RSS (documented precedence)."""
+    body = F.col(body_col).cast("string")
+    rss_b = _blocks(
+        pages, S.RSS_KIND_RE, S.RSS_ITEM_BLOCK_RE, url_col, body_col,
+        "feed_url",
+    )
+    rss = rss_b.select(
+        "feed_url",
+        F.lit("rss").alias("kind"),
+        abs_http_url(_child(F.col("_b"), S.RSS_LINK_RE)).alias("item_url"),
+        _child(F.col("_b"), S.XML_TITLE_RE).alias("title"),
+        _child(F.col("_b"), S.RSS_PUBDATE_RE).alias("published"),
+    )
+    atom_pages = pages.where(~body.rlike(S.RSS_KIND_RE))
+    atom_b = _blocks(
+        atom_pages, S.ATOM_KIND_RE, S.ATOM_ENTRY_BLOCK_RE, url_col,
+        body_col, "feed_url",
+    )
+    link_tag = F.regexp_extract(F.col("_b"), S.LINK_TAG_RE, 0)
+    atom = atom_b.select(
+        "feed_url",
+        F.lit("atom").alias("kind"),
+        abs_http_url(
+            F.nullif(
+                xml_unescape(F.regexp_extract(link_tag, S.HREF_ATTR_RE, 1)),
+                F.lit(""),
+            )
+        ).alias("item_url"),
+        _child(F.col("_b"), S.XML_TITLE_RE).alias("title"),
+        _child(F.col("_b"), S.ATOM_UPDATED_RE).alias("published"),
+    )
+    return rss.unionByName(atom).where(F.col("item_url").isNotNull())
+
+
+def robots_sitemap_urls(robots: DataFrame) -> DataFrame:
+    """robots.txt ``Sitemap:`` directives → distinct (domain,
+    sitemap_url).  Per RFC 9309 §2.3 the line is group-independent, so
+    this reads every line regardless of User-agent groups — the same
+    line grammar as operators/robots.py (comment tail stripped,
+    case-insensitive field), value kept iff absolute http(s)."""
+    lines = robots.select(
+        "domain",
+        F.explode(F.split(F.col("robots_txt"), "\n")).alias("raw"),
+    ).select(
+        "domain",
+        F.trim(F.regexp_replace(F.col("raw"), S.ROBOTS_COMMENT_RE, "")).alias(
+            "line"
+        ),
+    )
+    parsed = lines.select(
+        "domain",
+        F.lower(F.regexp_extract("line", S.ROBOTS_FIELD_RE, 1)).alias("field"),
+        F.trim(F.regexp_extract("line", S.ROBOTS_VALUE_RE, 1)).alias("value"),
+    )
+    return (
+        parsed.where(F.col("field") == "sitemap")
+        .select("domain", abs_http_url(F.col("value")).alias("sitemap_url"))
+        .where(F.col("sitemap_url").isNotNull())
+        .distinct()
+    )
+
+
+def discovered_urls(
+    pages: DataFrame, url_col: str = "url", body_col: str = "html"
+) -> DataFrame:
+    """The deduplicated crawl frontier a corpus yields about ITSELF:
+    every absolute http(s) URL discoverable from page anchors
+    (operators/links.py over non-sitemap/non-feed pages), sitemap
+    <loc>s (urlset entries + index children), and feed item links —
+    one row per normalized url with per-source reference counts and a
+    ``crawled`` flag (the url is already a capture in ``pages``).
+
+    Scale shape: three generate-only extractions union (no barrier —
+    each is linear in its own block count), then ONE groupBy-url
+    shuffle merges sources; the crawled flag is a left join against
+    the distinct normalized capture urls.  ``crawled = 0`` rows ARE
+    the frontier."""
+    from .links import extract_links
+
+    body = F.col(body_col).cast("string")
+    is_sitemapish = (
+        body.rlike(S.SITEMAP_URLSET_KIND_RE)
+        | body.rlike(S.SITEMAP_INDEX_KIND_RE)
+        | body.rlike(S.RSS_KIND_RE)
+        | body.rlike(S.ATOM_KIND_RE)
+    )
+    anchors = (
+        extract_links(
+            pages.where(~is_sitemapish), url_col=url_col, html_col=body_col
+        )
+        .where(F.col("dst_url").isNotNull())
+        .select(F.col("dst_url").alias("url"), F.lit("anchor").alias("src"))
+    )
+    locs = (
+        sitemap_url_entries(pages, url_col=url_col, body_col=body_col)
+        .select(F.col("loc").alias("url"), F.lit("sitemap").alias("src"))
+    )
+    children = (
+        sitemap_index_entries(pages, url_col=url_col, body_col=body_col)
+        .select(F.col("child_url").alias("url"), F.lit("sitemap").alias("src"))
+    )
+    items = (
+        feed_items(pages, url_col=url_col, body_col=body_col)
+        .select(F.col("item_url").alias("url"), F.lit("feed").alias("src"))
+    )
+    refs = anchors.unionByName(locs).unionByName(children).unionByName(items)
+    merged = refs.groupBy("url").agg(
+        F.sum((F.col("src") == "anchor").cast("bigint")).alias("from_anchors"),
+        F.sum((F.col("src") == "sitemap").cast("bigint")).alias("from_sitemaps"),
+        F.sum((F.col("src") == "feed").cast("bigint")).alias("from_feeds"),
+    )
+    crawled = (
+        pages.select(normalize_url(F.col(url_col)).alias("url"))
+        .distinct()
+        .withColumn("crawled", F.lit(1).cast("bigint"))
+    )
+    return merged.join(crawled, "url", "left").select(
+        "url",
+        "from_anchors",
+        "from_sitemaps",
+        "from_feeds",
+        F.coalesce(F.col("crawled"), F.lit(0).cast("bigint")).alias("crawled"),
+    )

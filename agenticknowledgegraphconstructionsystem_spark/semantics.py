@@ -274,6 +274,59 @@ JSONLD_PROPS = (
     ("worksFor", ("$.worksFor.name", "$.worksFor")),
 )
 
+#: Sitemap / feed URL discovery (operators/sitemaps.py + its DuckDB
+#: twin) — how a crawl finds the urls it hasn't fetched yet: XML
+#: sitemaps (sitemaps.org protocol: <urlset> of <url> entries and
+#: <sitemapindex> of child <sitemap>s), robots.txt ``Sitemap:``
+#: directives (RFC 9309 §2.3 — group-independent lines), and RSS 2.0 /
+#: Atom (RFC 4287) feed items.  Same Java-regex ∩ RE2 subset and
+#: rule-not-parser stance as ANCHOR_TAG_RE: ``(?s)`` + non-greedy pulls
+#: whole <url>/<sitemap>/<item>/<entry> blocks (both engines support
+#: the flag and lazy quantifiers identically on these patterns); child
+#: elements are plain ``<tag>text</tag>`` with no nested markup —
+#: values carrying a '<' do not match and drop whole.  Discovered
+#: candidates are whitespace-stripped (XML_STRIP_WS_RE — engine trim()
+#: only eats spaces, this eats the newline-indented <loc> bodies too),
+#: XML-entity-unescaped (XML_ENTITIES, sequential replace with &amp;
+#: LAST so '&amp;lt;' correctly yields '&lt;'), kept iff absolute
+#: http(s) (LINK_SCHEMES — the sitemaps.org MUST-be-absolute rule), and
+#: normalized by urls.normalize_url.
+SITEMAP_URL_BLOCK_RE = r"(?s)<[Uu][Rr][Ll]>.*?</[Uu][Rr][Ll]>"
+SITEMAP_CHILD_BLOCK_RE = r"(?s)<[Ss][Ii][Tt][Ee][Mm][Aa][Pp]>.*?</[Ss][Ii][Tt][Ee][Mm][Aa][Pp]>"
+RSS_ITEM_BLOCK_RE = r"(?s)<[Ii][Tt][Ee][Mm]>.*?</[Ii][Tt][Ee][Mm]>"
+ATOM_ENTRY_BLOCK_RE = r"(?s)<[Ee][Nn][Tt][Rr][Yy]>.*?</[Ee][Nn][Tt][Rr][Yy]>"
+XML_LOC_RE = r"<[Ll][Oo][Cc]>([^<]*)</[Ll][Oo][Cc]>"
+XML_LASTMOD_RE = r"<[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>([^<]*)</[Ll][Aa][Ss][Tt][Mm][Oo][Dd]>"
+XML_CHANGEFREQ_RE = (
+    r"<[Cc][Hh][Aa][Nn][Gg][Ee][Ff][Rr][Ee][Qq]>([^<]*)"
+    r"</[Cc][Hh][Aa][Nn][Gg][Ee][Ff][Rr][Ee][Qq]>"
+)
+XML_PRIORITY_RE = (
+    r"<[Pp][Rr][Ii][Oo][Rr][Ii][Tt][Yy]>([^<]*)</[Pp][Rr][Ii][Oo][Rr][Ii][Tt][Yy]>"
+)
+XML_TITLE_RE = r"<[Tt][Ii][Tt][Ll][Ee]>([^<]*)</[Tt][Ii][Tt][Ll][Ee]>"
+#: RSS <link>text</link> — the '>' right after 'link' keeps it from
+#: matching Atom's attribute form <link href="..."/>
+RSS_LINK_RE = r"<[Ll][Ii][Nn][Kk]>([^<]*)</[Ll][Ii][Nn][Kk]>"
+RSS_PUBDATE_RE = r"<[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>([^<]*)</[Pp][Uu][Bb][Dd][Aa][Tt][Ee]>"
+ATOM_UPDATED_RE = r"<[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>([^<]*)</[Uu][Pp][Dd][Aa][Tt][Ee][Dd]>"
+#: document-kind detection (unanchored search semantics — rlike /
+#: regexp_matches); a body matching RSS_KIND_RE is RSS even if it also
+#: matches ATOM_KIND_RE (documented precedence, identical both engines)
+SITEMAP_URLSET_KIND_RE = r"<[Uu][Rr][Ll][Ss][Ee][Tt][\s>]"
+SITEMAP_INDEX_KIND_RE = r"<[Ss][Ii][Tt][Ee][Mm][Aa][Pp][Ii][Nn][Dd][Ee][Xx][\s>]"
+RSS_KIND_RE = r"<[Rr][Ss][Ss][\s>]"
+ATOM_KIND_RE = r"<[Ff][Ee][Ee][Dd][\s>]"
+XML_STRIP_WS_RE = r"^\s+|\s+$"
+#: sequential literal replaces, &amp; deliberately last
+XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),

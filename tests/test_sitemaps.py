@@ -1,0 +1,225 @@
+"""Sitemap/feed discovery tier (operators/sitemaps.py): extraction-rule
+edge cases on handcrafted XML, DuckDB twins over fixtures synthesized
+identically in both engines from the real sf0.001 documents table (the
+gate_sitemaps members), and the frontier composition (discovered urls
+minus crawled captures = what a crawler fetches next)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from agenticknowledgegraphconstructionsystem_spark.gate_sitemaps import (
+    SITEMAP_SUITE_MEMBERS,
+    feed_pages,
+    mixed_pages,
+    urlset_pages,
+)
+from agenticknowledgegraphconstructionsystem_spark.operators.sitemaps import (
+    discovered_urls,
+    feed_items,
+    robots_sitemap_urls,
+    sitemap_index_entries,
+    sitemap_url_entries,
+    xml_unescape,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return sorted(
+        tuple(r) for r in con.execute(sql).fetchall()
+    )
+
+
+def _member_sql(name):
+    return next(
+        sql for g, _fn, sql, _cols in SITEMAP_SUITE_MEMBERS if g == name
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction-rule edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_xml_unescape_order(spark):
+    """&amp; last: '&amp;lt;' must yield '&lt;', not '<'."""
+    df = spark.createDataFrame([Row(t="&amp;lt; &lt; &gt; &quot; &apos; &amp;")])
+    got = df.select(xml_unescape(F.col("t")).alias("u")).collect()[0]["u"]
+    assert got == "&lt; < > \" ' &"
+
+
+def test_sitemap_url_entries_rules(spark):
+    xml = (
+        "<urlset>\n"
+        " <url>\n  <loc>\n    HTTPS://WWW.Ex.COM:443/a?x=1&amp;utm_source=m\n  </loc>\n"
+        "  <lastmod>2025-01-02</lastmod>\n  <changefreq>daily</changefreq>\n"
+        "  <priority>0.8</priority>\n </url>\n"
+        " <url><loc>/relative</loc></url>\n"
+        " <url><loc>ftp://x.org/f</loc></url>\n"
+        " <url><loc>http://ex.com/b</loc></url>\n"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([Row(url="https://ex.com/s.xml", html=xml)])
+    rows = sorted(
+        (r["loc"], r["lastmod"], r["changefreq"], r["priority"])
+        for r in sitemap_url_entries(df).collect()
+    )
+    # newline-indented loc stripped, entity unescaped, tracking param cut,
+    # case+port normalized; relative/ftp dropped whole; absent children NULL
+    assert rows == [
+        ("http://ex.com/b", None, None, None),
+        ("https://www.ex.com/a?x=1", "2025-01-02", "daily", "0.8"),
+    ]
+
+
+def test_sitemap_entries_binary_body(spark):
+    """WARC payloads carry the body as binary — the operator casts."""
+    xml = b"<urlset><url><loc>https://e.org/x</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [Row(url="https://e.org/s.xml", html=xml)], "url string, html binary"
+    )
+    assert [r["loc"] for r in sitemap_url_entries(df).collect()] == [
+        "https://e.org/x"
+    ]
+
+
+def test_sitemap_index_entries_rules(spark):
+    xml = (
+        "<sitemapindex><sitemap>\n<loc> https://e.org/m/p1.xml?a=1&amp;b=2 </loc>\n"
+        "</sitemap><sitemap><loc>rel.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([Row(url="https://e.org/i.xml", html=xml)])
+    assert [r["child_url"] for r in sitemap_index_entries(df).collect()] == [
+        "https://e.org/m/p1.xml?a=1&b=2"
+    ]
+
+
+def test_feed_items_rules(spark):
+    rss = (
+        "<rss version=\"2.0\"><channel><title>chan</title>"
+        "<link>https://e.org/</link>"  # channel-level link: NOT an item
+        "<item><title>T1 &amp; more</title><link> https://E.org/p/1 </link>"
+        "<pubDate>Mon, 01 Jan 2025</pubDate></item>"
+        "<item><title>linkless</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'
+        '<entry><title>A1</title>'
+        '<link rel="alternate" href="https://e.org/a/1?utm_x=9"/>'
+        "<updated>2025-02-03</updated></entry>"
+        '<entry><link href="mailto:skip@x"/><title>skip</title></entry>'
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(url="https://e.org/feed.rss", html=rss),
+            Row(url="https://e.org/atom.xml", html=atom),
+        ]
+    )
+    rows = sorted(
+        (r["kind"], r["item_url"], r["title"], r["published"])
+        for r in feed_items(df).collect()
+    )
+    assert rows == [
+        ("atom", "https://e.org/a/1", "A1", "2025-02-03"),
+        ("rss", "https://e.org/p/1", "T1 & more", "Mon, 01 Jan 2025"),
+    ]
+
+
+def test_robots_sitemap_urls_rules(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                domain="e.org",
+                robots_txt=(
+                    "User-agent: *\nDisallow: /x\n"
+                    "Sitemap: https://e.org/s.xml # main\n"
+                    "sitemap: HTTPS://E.ORG:443/t.xml?utm_q=1&v=2\n"
+                    "SiteMap: rel/skip.xml"
+                ),
+            )
+        ]
+    )
+    got = sorted(r["sitemap_url"] for r in robots_sitemap_urls(df).collect())
+    # group-independent, comment tail stripped, case-insensitive field,
+    # normalized value, relative dropped
+    assert got == ["https://e.org/s.xml", "https://e.org/t.xml?v=2"]
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin parity (the gate members, at sf0.001)
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_entries_match_duckdb_twin(spark):
+    pages = urlset_pages(spark, SF_DIR)
+    got = sorted(
+        tuple(r)
+        for r in sitemap_url_entries(pages)
+        .select("sitemap_url", "loc", "lastmod", "changefreq", "priority")
+        .collect()
+    )
+    assert got == _duck(_member_sql("sitemap_entries"))
+    # non-vacuous: exactly 2 of 4 entries survive per sitemap document
+    assert len(got) == 2 * pages.count()
+    assert all(
+        "utm_" not in loc and loc.startswith(("http://", "https://"))
+        for _s, loc, _l, _c, _p in got
+    )
+
+
+def test_feed_items_match_duckdb_twin(spark):
+    pages = feed_pages(spark, SF_DIR)
+    got = sorted(
+        tuple(r)
+        for r in feed_items(pages)
+        .select("feed_url", "kind", "item_url", "title", "published")
+        .collect()
+    )
+    assert got == _duck(_member_sql("feed_items"))
+    # exactly one kept item per feed document, both kinds present
+    assert len(got) == pages.count()
+    assert {k for _f, k, _u, _t, _p in got} == {"rss", "atom"}
+
+
+def test_discovered_matches_duckdb_twin(spark):
+    pages = mixed_pages(spark, SF_DIR)
+    got = sorted(tuple(r) for r in discovered_urls(pages).collect())
+    assert got == _duck(_member_sql("discovered_urls"))
+    by_url = {r[0]: r[1:] for r in got}
+    # at least one url is referenced by BOTH an anchor and a sitemap loc
+    # (the html1 anchor targets the urlset loc shape)
+    assert any(a > 0 and s > 0 for a, s, _f, _c in by_url.values())
+    # the k=0 anchor chain: page i points at page i+5, which IS a capture
+    assert any(a > 0 and c == 1 for a, _s, _f, c in by_url.values())
+    # and the frontier is non-empty: discovered-but-not-crawled urls exist
+    assert any(c == 0 for _a, _s, _f, c in by_url.values())
+
+
+def test_frontier_composition(spark):
+    """discovered_urls(crawled=0) is exactly the fetch list: disjoint
+    from the capture set, non-empty, all absolute http(s)."""
+    pages = mixed_pages(spark, SF_DIR)
+    frontier = discovered_urls(pages).where(F.col("crawled") == 0)
+    from agenticknowledgegraphconstructionsystem_spark.operators.urls import (
+        normalize_url,
+    )
+
+    captures = {
+        r["u"]
+        for r in pages.select(normalize_url(F.col("url")).alias("u"))
+        .distinct()
+        .collect()
+    }
+    urls = [r["url"] for r in frontier.collect()]
+    assert urls and not (set(urls) & captures)
+    assert all(u.startswith(("http://", "https://")) for u in urls)
