@@ -28,6 +28,7 @@ from . import semantics as S
 from .gate_links import LINK_SUITE_MEMBERS
 from .gate_policy import POLICY_SUITE_MEMBERS
 from .gate_robots import ROBOTS_SUITE_MEMBERS
+from .gate_cdx import CDX_SUITE_MEMBERS
 from .gate_sitemaps import SITEMAP_SUITE_MEMBERS
 from .gate_structured import STRUCT_SUITE_MEMBERS
 from .gate_suites import suite_oracle, suite_query
@@ -898,6 +899,8 @@ _URL_SUITE = [
     *ROBOTS_SUITE_MEMBERS,
     # sitemap/feed discovery tier (operators/sitemaps.py) — gate_sitemaps.py
     *SITEMAP_SUITE_MEMBERS,
+    # CDX capture-index tier (operators/cdx.py) — gate_cdx.py
+    *CDX_SUITE_MEMBERS,
 ]
 
 _CURATE_SUITE = [
@@ -965,6 +968,7 @@ CURATION_MICRO_QUERIES = {
     **{f"td_{g}": fn for g, fn, _sql, _cols in POLICY_SUITE_MEMBERS},
     **{f"td_{g}": fn for g, fn, _sql, _cols in ROBOTS_SUITE_MEMBERS},
     **{f"td_{g}": fn for g, fn, _sql, _cols in SITEMAP_SUITE_MEMBERS},
+    **{f"td_{g}": fn for g, fn, _sql, _cols in CDX_SUITE_MEMBERS},
     "td_url_norm": q_url_norm,
     "td_latest_capture": q_latest_capture,
     "td_cap_domain": q_cap_domain,
@@ -989,6 +993,7 @@ CURATION_MICRO_ORACLES = {
     **{f"td_{g}": sql for g, _fn, sql, _cols in POLICY_SUITE_MEMBERS},
     **{f"td_{g}": sql for g, _fn, sql, _cols in ROBOTS_SUITE_MEMBERS},
     **{f"td_{g}": sql for g, _fn, sql, _cols in SITEMAP_SUITE_MEMBERS},
+    **{f"td_{g}": sql for g, _fn, sql, _cols in CDX_SUITE_MEMBERS},
     "td_url_norm": O_URL_NORM,
     "td_latest_capture": O_LATEST_CAPTURE,
     "td_cap_domain": O_CAP_DOMAIN,
