@@ -61,6 +61,8 @@ STAGES = (
     "graph_metrics",
     "link_graph",
     "host_rank",
+    "frontier",
+    "cdx",
     "assembly",
 )
 
@@ -79,6 +81,7 @@ class Pipeline:
         dedup_threshold: float = 0.5,
         graph_metrics: bool = False,
         link_graph: bool = False,
+        crawl_index: bool = False,
         curate: bool = False,
         strip_boilerplate: bool = False,
         decontam_benchmark: DataFrame | None = None,
@@ -133,6 +136,16 @@ class Pipeline:
         signal.  Both resume like every stage; the edge extraction never
         touches the extract/mention DAG.
 
+        ``crawl_index=True`` adds the two crawl-bookkeeping stages over
+        the RAW pages: ``frontier`` commits the deduplicated discovered
+        urls (operators/sitemaps.discovered_urls — anchors + sitemap
+        locs + feed items merged per normalized url, crawled flag from
+        this corpus's own captures; ``crawled = 0`` rows are the next
+        fetch list), and ``cdx`` commits the SURT-keyed capture index
+        (operators/cdx.cdx_records — warc_ts formatted to the 14-digit
+        CDX timestamp, sha256 digests over the payload).  Both resume
+        like every stage.
+
         ``assemble_ctx=<ctx_len>`` adds the corpus→training-stream
         assembly stage over the final (deduped, curated) docs: an
         optional domain-mixture resample (``mixture_targets`` — permille
@@ -159,6 +172,7 @@ class Pipeline:
         self.dedup_threshold = dedup_threshold
         self.graph_metrics = graph_metrics
         self.link_graph = link_graph
+        self.crawl_index = crawl_index
         self.curate = curate or strip_boilerplate
         self.strip_boilerplate = strip_boilerplate
         self.decontam_benchmark = decontam_benchmark
@@ -517,6 +531,12 @@ class Pipeline:
 
             lg = self._stage("link_graph", lambda: link_edges(pages))
             hr = self._stage("host_rank", lambda: self._host_rank(lg))
+        fr = cx = None
+        if self.crawl_index:
+            from ..operators.sitemaps import discovered_urls
+
+            fr = self._stage("frontier", lambda: discovered_urls(pages))
+            cx = self._stage("cdx", lambda: self._cdx_records(pages))
         asm = None
         if self.assemble_ctx is not None:
             # Hive-partitioned by shard: a consumer materializing one
@@ -549,6 +569,9 @@ class Pipeline:
         if lg is not None:
             out["link_graph"] = lg
             out["host_rank"] = hr
+        if fr is not None:
+            out["frontier"] = fr
+            out["cdx"] = cx
         if asm is not None:
             out["assembly"] = asm
         return out
@@ -566,6 +589,22 @@ class Pipeline:
         return pagerank_fixed_point(
             hosts, src="src_domain", dst="dst_domain", iters=8
         )
+
+    def _cdx_records(self, pages: DataFrame) -> DataFrame:
+        """Raw captures → SURT-keyed CDX records: warc_ts formatted to
+        the 14-digit CDX timestamp, digest over whichever payload the
+        capture carries (html, else pre-extracted text) — the lookup
+        index a wayback-style server range-scans.  Pure projection."""
+        from ..operators.cdx import cdx_records
+
+        caps = pages.select(
+            "url",
+            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+            F.coalesce(
+                F.col("html").cast("string"), F.col("text"), F.lit("")
+            ).alias("payload"),
+        )
+        return cdx_records(caps, payload_col="payload")
 
     def _assemble(self, docs: DataFrame) -> DataFrame:
         """Corpus → training stream over the FINAL docs (post-dedup,

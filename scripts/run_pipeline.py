@@ -75,6 +75,13 @@ def main() -> None:
         "rollup (the crawl-prioritization signal)",
     )
     ap.add_argument(
+        "--crawl-index",
+        action="store_true",
+        help="crawl-bookkeeping stages over the raw pages: committed "
+        "discovered-url frontier (anchors + sitemaps + feeds, crawled "
+        "flag) + SURT-keyed CDX capture index with sha256 digests",
+    )
+    ap.add_argument(
         "--curate",
         action="store_true",
         help="training-data curation stage after dedup: Gopher repetition "
@@ -146,6 +153,7 @@ def main() -> None:
         dedup_threshold=args.dedup_threshold,
         graph_metrics=args.graph_metrics,
         link_graph=args.link_graph,
+        crawl_index=args.crawl_index,
         curate=args.curate or bool(args.decontam_benchmark),
         strip_boilerplate=args.strip_boilerplate,
         decontam_benchmark=(
@@ -166,6 +174,9 @@ def main() -> None:
     if "link_graph" in res:
         counts["link_edges"] = res["link_graph"].count()
         counts["host_nodes"] = res["host_rank"].count()
+    if "frontier" in res:
+        counts["frontier_urls"] = res["frontier"].count()
+        counts["cdx_records"] = res["cdx"].count()
     if "assembly" in res:
         counts["assembly_rows"] = res["assembly"].count()
     if args.sql_views:

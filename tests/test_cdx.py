@@ -120,3 +120,48 @@ def test_write_cdx_sorted_roundtrip(spark, tmp_path):
 def test_cdx_records_plan_zero_exchanges(spark):
     plan = cdx_records(cdx_pages(spark, SF_DIR))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pipeline_crawl_index_stages(spark, tmp_path):
+    """Pipeline(crawl_index=True) commits the frontier + cdx stages over
+    the RAW pages, with lineage + resume, matching the standalone
+    operators exactly (warc_ts → 14-digit CDX timestamp)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.sitemaps import (
+        discovered_urls,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+
+    base = synthetic_pages(spark, 30)
+    pages = base.withColumn(
+        "html",
+        F.concat(
+            F.col("html").cast("string"),
+            F.lit('<a href="https://hub.example.com/h?utm_s=1">hub</a>'),
+        ).cast("binary"),
+    )
+    p = Pipeline(spark, str(tmp_path / "ci"), run_id="c1", crawl_index=True)
+    r = p.run(pages)
+    assert {"frontier", "cdx"} <= set(p._recomputed)
+    got_fr = sorted(map(tuple, r["frontier"].collect()))
+    want_fr = sorted(map(tuple, discovered_urls(pages).collect()))
+    assert got_fr == want_fr and len(got_fr) > 0
+    # the hub target is discovered, normalized, and NOT yet crawled
+    by_url = {t[0]: t[1:] for t in got_fr}
+    assert by_url["https://hub.example.com/h"][3] == 0
+    got_cdx = sorted(map(tuple, r["cdx"].collect()))
+    assert len(got_cdx) == pages.count()
+    assert all(
+        len(t) == 14 and t.isdigit() and len(d) == 64
+        for _s, t, _u, d in got_cdx
+    )
+    assert p.lineage().where("stage = 'cdx'").count() >= 1
+
+    # full resume: nothing recomputes
+    p2 = Pipeline(spark, str(tmp_path / "ci"), run_id="c2", crawl_index=True)
+    p2.run(pages)
+    assert p2._recomputed == []
