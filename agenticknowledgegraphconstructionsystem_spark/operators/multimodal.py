@@ -530,15 +530,41 @@ def _wav_features(payload: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
     return len(payload), duration_ms, feats
 
 
+def _flac_features(payload: bytes, n_mfcc: int) -> tuple[int, int, list[float]]:
+    """Real decode + feature-extract for FLAC (functions/flac.py — the
+    full RFC 9639 decoder: fixed/LPC prediction, rice partitions, stereo
+    decorrelation, CRC-8/CRC-16/MD5 verified): same per-stratum RMS band
+    energies as :func:`_wav_features`, normalized by the stream's own
+    full scale (2^(bps-1))."""
+    from ..functions.flac import decode_flac
+
+    rate, channels, bps, samples = decode_flac(payload)
+    n_frames = len(samples) // max(channels, 1)
+    duration_ms = n_frames * 1000 // rate if rate else 0
+    mono = [
+        sum(samples[i * channels : (i + 1) * channels]) / max(channels, 1)
+        for i in range(n_frames)
+    ]
+    full = float(1 << (bps - 1))
+    feats = []
+    for k in range(n_mfcc):
+        lo = k * n_frames // n_mfcc
+        hi = max((k + 1) * n_frames // n_mfcc, lo + 1)
+        seg = mono[lo:hi] or [0.0]
+        feats.append((sum(s * s for s in seg) / len(seg)) ** 0.5 / full)
+    return len(payload), duration_ms, feats
+
+
 def decode_audio(
     media: DataFrame, n_mfcc: int = 13, bytes_per_ms: int = 16, fake: bool = True
 ) -> DataFrame:
     """mapInPandas audio decode/feature plumbing (the audio member of the
     image/audio/video trio).  ``fake=False`` really decodes 16-bit PCM
-    WAV payloads (stdlib ``struct``, :func:`decode_wav`) — duration from
-    the actual sample rate, per-stratum RMS band energies as features —
-    and raises ``NotImplementedError`` for compressed codecs
-    (soundfile/librosa territory).  The fake path derives duration from
+    WAV payloads (stdlib ``struct``, :func:`decode_wav`) AND FLAC
+    streams (functions/flac.py, the full RFC 9639 decoder) — duration
+    from the actual sample rate, per-stratum RMS band energies as
+    features — and raises ``NotImplementedError`` for lossy codecs
+    (MP3/AAC need soundfile/librosa).  The fake path derives duration from
     payload size and a deterministic digest-based vector, exercising
     schema, Arrow batch shape and the array<float> handoff to the
     similarity operators on arbitrary payloads."""
@@ -561,11 +587,15 @@ def decode_audio(
                     )
                 else:
                     try:
-                        rows.append(_wav_features(bytes(p), n_mfcc))
+                        pb = bytes(p)
+                        if pb[:4] == b"fLaC":
+                            rows.append(_flac_features(pb, n_mfcc))
+                        else:
+                            rows.append(_wav_features(pb, n_mfcc))
                     except ValueError as e:
                         raise NotImplementedError(
-                            "real decode supports 16-bit PCM WAV only "
-                            "(stdlib); compressed codecs need "
+                            "real decode supports 16-bit PCM WAV and "
+                            "FLAC (stdlib); lossy codecs need "
                             f"soundfile/librosa — payload rejected: {e}"
                         ) from e
             yield pd.DataFrame(
@@ -784,6 +814,22 @@ def _probe_one(p: bytes) -> tuple:
                     n_frames, "gif-lzw")
         except ValueError:
             pass
+    if p[:4] == b"fLaC":
+        # STREAMINFO walk only (decode_flac would materialize all samples)
+        try:
+            from ..functions.flac import _parse_streaminfo
+
+            si, _off = _parse_streaminfo(p)
+        except ValueError:
+            return ("unknown", None, None, None, None, None, None, None)
+        dur = (
+            si["total_samples"] * 1000 // si["sample_rate"]
+            if si["sample_rate"] and si["total_samples"]
+            else None
+        )
+        kbps = len(p) * 8 // dur if dur else None
+        return ("flac", None, None, dur, kbps, si["sample_rate"],
+                si["channels"], "flac")
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         # fmt-chunk walk only (decode_wav would materialize all samples)
         pos, rate, channels, data_len = 12, None, None, 0
