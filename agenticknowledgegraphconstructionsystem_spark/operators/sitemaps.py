@@ -269,3 +269,73 @@ def discovered_urls(
         "from_feeds",
         F.coalesce(F.col("crawled"), F.lit(0).cast("bigint")).alias("crawled"),
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    host_rank: DataFrame,
+    robots: DataFrame | None = None,
+    per_host_cap: int | None = None,
+    agent: str = "*",
+) -> DataFrame:
+    """The fetch list a polite crawler runs next: ``frontier`` rows
+    (operators/sitemaps.discovered_urls output) that are NOT yet
+    crawled, joined to the host PageRank signal (``host_rank``:
+    (node, pr) over registered domains — plans/pipeline._host_rank's
+    committed table), optionally filtered by robots.txt verdicts and
+    capped per host.  → (url, domain, host_pr, rank_in_host).
+
+    Determinism: within a host, urls rank by reference weight
+    (anchors + sitemaps + feeds) DESC then url ASC; hosts order by
+    ``host_pr`` at read time.  There is deliberately NO global
+    row_number — a total order would funnel the corpus through one
+    partition; the global ordering is a range sort at write/serve time
+    (the write_cdx_sorted discipline).
+
+    Scale shape: one broadcast join against the host table (domains ≪
+    urls), one optional domain-keyed join for robots verdicts, ONE
+    WindowGroupLimit when capped.  Politeness is per host, so the cap
+    is also what bounds any one host's fetch burst.
+
+    Reference analogue: the citation-frontier loop
+    (fetch_citing_papers.py:85-264) fetches whatever the API returns
+    next; this is the same decision made from corpus-derived signals.
+    """
+    from .robots import robots_verdicts
+    from .urls import registered_domain
+
+    todo = frontier.where(F.col("crawled") == 0).select(
+        "url",
+        registered_domain(F.col("url")).alias("domain"),
+        (
+            F.col("from_anchors") + F.col("from_sitemaps") + F.col("from_feeds")
+        ).alias("n_refs"),
+    )
+    if robots is not None:
+        verdicts = robots_verdicts(todo, robots, agent=agent)
+        todo = todo.join(
+            verdicts.where(~F.col("disallowed")).select("url"), "url", "semi"
+        )
+    ranked = todo.join(
+        F.broadcast(
+            host_rank.select(
+                F.col("node").alias("domain"), F.col("pr").alias("host_pr")
+            )
+        ),
+        "domain",
+        "left",
+    ).select(
+        "url",
+        "domain",
+        F.coalesce(F.col("host_pr"), F.lit(0)).alias("host_pr"),
+        "n_refs",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("n_refs"), F.asc("url")
+    )
+    ranked = ranked.withColumn("rank_in_host", F.row_number().over(w))
+    if per_host_cap is not None:
+        ranked = ranked.where(F.col("rank_in_host") <= per_host_cap)
+    return ranked.select("url", "domain", "host_pr", "rank_in_host")

@@ -223,3 +223,49 @@ def test_frontier_composition(spark):
     urls = [r["url"] for r in frontier.collect()]
     assert urls and not (set(urls) & captures)
     assert all(u.startswith(("http://", "https://")) for u in urls)
+
+
+def test_crawl_schedule_composition(spark):
+    """frontier + host PageRank + robots → the fetch list: uncrawled
+    only, disallowed urls dropped, per-host cap enforced, rank-in-host
+    by reference weight then url, host_pr joined (0 for unranked
+    hosts)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.sitemaps import (
+        crawl_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            # url, anchors, sitemaps, feeds, crawled
+            Row(url="https://a.example/1", from_anchors=3, from_sitemaps=0,
+                from_feeds=0, crawled=0),
+            Row(url="https://a.example/2", from_anchors=1, from_sitemaps=1,
+                from_feeds=1, crawled=0),
+            Row(url="https://a.example/3", from_anchors=1, from_sitemaps=0,
+                from_feeds=0, crawled=0),
+            Row(url="https://a.example/no/4", from_anchors=9, from_sitemaps=0,
+                from_feeds=0, crawled=0),          # robots-disallowed
+            Row(url="https://a.example/5", from_anchors=9, from_sitemaps=9,
+                from_feeds=9, crawled=1),          # already crawled
+            Row(url="https://b.example/x", from_anchors=0, from_sitemaps=1,
+                from_feeds=0, crawled=0),          # host w/o rank row
+        ]
+    )
+    host_rank = spark.createDataFrame([Row(node="a.example", pr=7000)])
+    robots = spark.createDataFrame(
+        [Row(domain="a.example", robots_txt="User-agent: *\nDisallow: /no")]
+    )
+    got = sorted(
+        tuple(r)
+        for r in crawl_schedule(
+            frontier, host_rank, robots=robots, per_host_cap=2
+        ).collect()
+    )
+    assert got == [
+        # a.example: /1 (3 refs) beats /2 (3 refs) on url ASC? no — equal
+        # refs tie-break by url ASC, so /1 then /2; /3 capped out;
+        # /no/4 disallowed; /5 crawled
+        ("https://a.example/1", "a.example", 7000, 1),
+        ("https://a.example/2", "a.example", 7000, 2),
+        ("https://b.example/x", "b.example", 0, 1),
+    ]
