@@ -27,7 +27,8 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["probe_image_dims", "scan_mp3", "parse_mp4", "write_mp3", "build_mp4"]
+__all__ = ["probe_image_dims", "scan_mp3", "parse_mp4", "scan_ogg",
+           "write_mp3", "build_mp4", "build_ogg"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -254,3 +255,120 @@ def build_mp4(
         mdia = _box(b"hdlr", hdlr) + _box(b"minf", minf)
         moov += _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _box(b"moov", moov)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) — Vorbis and Opus identification headers
+# ---------------------------------------------------------------------------
+
+
+def scan_ogg(payload: bytes) -> tuple[str, int, int, int]:
+    """Ogg page walk (RFC 3533) → (codec, channels, sample_rate,
+    duration_ms).  Codec and parameters come from the first page's
+    identification header ('\\x01vorbis' per the Vorbis I spec §4.2.2,
+    or 'OpusHead' per RFC 7845 §5.1); duration from the LAST page's
+    granule position (PCM sample count — Opus granules tick at 48 kHz
+    regardless of the input rate, minus the pre-skip).  Page CRCs are
+    not verified — this is the catalog probe, not a decoder (same
+    stance as parse_mp4's box walk).  Raises ValueError on
+    non-Ogg/unknown-codec payloads."""
+    if payload[:4] != b"OggS":
+        raise ValueError("ogg: missing OggS capture pattern")
+    codec = channels = rate = None
+    preskip = 0
+    last_granule = 0
+    pos = 0
+    n = len(payload)
+    first = True
+    while pos + 27 <= n:
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"ogg: lost page sync at byte {pos}")
+        if payload[pos + 4] != 0:
+            raise ValueError("ogg: unknown stream structure version")
+        granule = int.from_bytes(
+            payload[pos + 6 : pos + 14], "little", signed=True
+        )
+        nsegs = payload[pos + 26]
+        body_off = pos + 27 + nsegs
+        body_len = sum(payload[pos + 27 : pos + 27 + nsegs])
+        if body_off + body_len > n:
+            raise ValueError("ogg: truncated page body")
+        if granule >= 0:
+            last_granule = granule
+        if first:
+            body = payload[body_off : body_off + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                preskip = int.from_bytes(body[10:12], "little")
+                rate = int.from_bytes(body[12:16], "little")
+            else:
+                raise ValueError("ogg: first packet is not Vorbis/Opus")
+            first = False
+        pos = body_off + body_len
+    if codec is None:
+        raise ValueError("ogg: no identification header")
+    if codec == "opus":
+        dur = max(last_granule - preskip, 0) * 1000 // 48000
+    else:
+        dur = last_granule * 1000 // rate if rate else 0
+    return codec, channels, rate, dur
+
+
+def build_ogg(
+    codec: str = "vorbis",
+    channels: int = 2,
+    rate: int = 44100,
+    n_samples: int = 44100,
+    preskip: int = 312,
+) -> bytes:
+    """Fixture writer: a two-page Ogg stream — the identification
+    header page and one (empty-packet) data page carrying the final
+    granule position.  Structurally valid per RFC 3533; CRCs zero
+    (scan_ogg does not verify them)."""
+
+    def page(granule: int, body: bytes, header_type: int, seq: int) -> bytes:
+        segs = []
+        rem = len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (
+            b"OggS\x00"
+            + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + (7).to_bytes(4, "little")     # serial
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"           # crc: unverified by the probe
+            + bytes([len(segs)])
+            + bytes(segs)
+            + body
+        )
+
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")
+            + bytes([channels])
+            + rate.to_bytes(4, "little")
+            + b"\x00" * 16
+            + b"\x01"
+        )
+        final_granule = n_samples
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + preskip.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + b"\x00\x00\x00"
+        )
+        final_granule = n_samples + preskip  # granules include pre-skip
+    else:
+        raise ValueError(f"unknown codec {codec!r}")
+    return page(0, ident, 0x02, 0) + page(final_granule, b"", 0x04, 1)

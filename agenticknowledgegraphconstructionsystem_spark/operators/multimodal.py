@@ -814,6 +814,15 @@ def _probe_one(p: bytes) -> tuple:
                     n_frames, "gif-lzw")
         except ValueError:
             pass
+    if p[:4] == b"OggS":
+        try:
+            from ..functions.mediameta import scan_ogg
+
+            codec, channels, rate, dur = scan_ogg(p)
+        except ValueError:
+            return ("unknown", None, None, None, None, None, None, None)
+        kbps = len(p) * 8 // dur if dur else None
+        return ("ogg", None, None, dur or None, kbps, rate, channels, codec)
     if p[:4] == b"fLaC":
         # STREAMINFO walk only (decode_flac would materialize all samples)
         try:

@@ -6,6 +6,7 @@ hand-computable expected values."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 
 from agenticknowledgegraphconstructionsystem_spark.functions.gif import encode_gif
 from agenticknowledgegraphconstructionsystem_spark.functions.jpeg import encode_jpeg
@@ -123,3 +124,39 @@ def test_media_metadata_catalog_through_mapinpandas(spark):
     assert got[6]["n_tracks"] == 7  # frame count rides the track slot
     assert got[7]["format"] == "unknown" and got[7]["width"] is None
     assert got[8]["format"] == "missing" and got[8]["n_bytes"] is None
+
+
+def test_scan_ogg_vorbis_and_opus():
+    from agenticknowledgegraphconstructionsystem_spark.functions.mediameta import (
+        build_ogg,
+        scan_ogg,
+    )
+
+    assert scan_ogg(build_ogg("vorbis", 2, 44100, n_samples=88200)) == (
+        "vorbis", 2, 44100, 2000
+    )
+    # Opus granules tick at 48 kHz minus pre-skip, whatever the input rate
+    assert scan_ogg(build_ogg("opus", 1, 16000, n_samples=24000)) == (
+        "opus", 1, 16000, 500
+    )
+    with pytest.raises(ValueError, match="OggS"):
+        scan_ogg(b"not ogg")
+    with pytest.raises(ValueError, match="Vorbis/Opus"):
+        scan_ogg(b"OggS\x00\x02" + b"\x00" * 20 + b"\x01\x03xxx")
+
+
+def test_media_metadata_probes_ogg(spark):
+    from agenticknowledgegraphconstructionsystem_spark.functions.mediameta import (
+        build_ogg,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [Row(media_id=9, kind="audio", mime="audio/ogg",
+             payload=build_ogg("opus", 2, 48000, n_samples=96000), meta="{}")]
+    )
+    got = media_metadata(media).collect()[0]
+    assert (got["format"], got["codecs"], got["n_tracks"]) == ("ogg", "opus", 2)
+    assert got["duration_ms"] == 2000 and got["sample_rate"] == 48000
