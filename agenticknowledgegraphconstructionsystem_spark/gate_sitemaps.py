@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import semantics as S
-from .gate_links import _sql_norm, _sql_resolve
+from .gate_links import _sql_domain, _sql_norm, _sql_resolve
 from .gate_robots import _sql_lit
 from .gate_textdata import _docs
 
@@ -482,7 +482,9 @@ _KINDISH = (
     f"regexp_matches(body, '{S.ATOM_KIND_RE}'))"
 )
 
-O_DISCOVERED = f"""
+#: shared WITH-chain: the full discovered_urls derivation over the
+#: mixed corpus (reused by the crawl_schedule member below)
+_DUCK_DISC_CTES = f"""
 WITH {_DUCK_MIXED_PAGES},
 aa AS (
   SELECT url, unnest(regexp_extract_all(body, '{S.ANCHOR_TAG_RE}')) AS anchor
@@ -520,10 +522,68 @@ merged AS (
          CAST(SUM(CASE WHEN src = 'feed' THEN 1 ELSE 0 END) AS BIGINT) AS from_feeds
   FROM refs GROUP BY u
 ),
-crawled AS (SELECT DISTINCT {_sql_norm('url')} AS url, 1 AS c FROM p)
-SELECT m.url, m.from_anchors, m.from_sitemaps, m.from_feeds,
-       CAST(coalesce(c.c, 0) AS BIGINT) AS crawled
-FROM merged m LEFT JOIN crawled c ON m.url = c.url"""
+crawled AS (SELECT DISTINCT {_sql_norm('url')} AS url, 1 AS c FROM p),
+disc AS (
+  SELECT m.url, m.from_anchors, m.from_sitemaps, m.from_feeds,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS crawled
+  FROM merged m LEFT JOIN crawled c ON m.url = c.url
+)"""
+
+O_DISCOVERED = (
+    _DUCK_DISC_CTES
+    + " SELECT url, from_anchors, from_sitemaps, from_feeds, crawled FROM disc"
+)
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """sitemaps.crawl_schedule over the mixed corpus: uncrawled
+    frontier joined (broadcast) to a host signal — here the per-domain
+    capture count, a deterministic PageRank stand-in; the rank/robots
+    interplay is pytest-pinned — capped at 3 per host."""
+    from .operators.sitemaps import crawl_schedule, discovered_urls
+    from .operators.urls import registered_domain
+
+    pages = mixed_pages(spark, sf_dir)
+    hr = (
+        pages.select(registered_domain(F.col("url")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("pr"))
+    )
+    return crawl_schedule(
+        discovered_urls(pages), hr, per_host_cap=3
+    ).select(
+        "url",
+        "domain",
+        F.col("host_pr").cast(_BIG).alias("host_pr"),
+        F.col("rank_in_host").cast(_BIG).alias("rank_in_host"),
+    )
+
+
+O_CRAWL_SCHEDULE = (
+    _DUCK_DISC_CTES
+    + f""",
+hr AS (
+  SELECT {_sql_domain('url')} AS node, COUNT(*) AS pr FROM p GROUP BY 1
+),
+todo AS (
+  SELECT url, {_sql_domain('url')} AS domain,
+         from_anchors + from_sitemaps + from_feeds AS n_refs
+  FROM disc WHERE crawled = 0
+),
+jn AS (
+  SELECT t.url, t.domain, CAST(coalesce(h.pr, 0) AS BIGINT) AS host_pr,
+         t.n_refs
+  FROM todo t LEFT JOIN hr h ON t.domain = h.node
+),
+rk AS (
+  SELECT url, domain, host_pr,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_refs DESC, url ASC) AS rank_in_host
+  FROM jn
+)
+SELECT url, domain, host_pr, CAST(rank_in_host AS BIGINT) AS rank_in_host
+FROM rk WHERE rank_in_host <= 3"""
+)
 
 
 #: folded into gate_curation's td_url_suite + CURATION_MICRO_* registries
@@ -538,4 +598,6 @@ SITEMAP_SUITE_MEMBERS = [
      ["domain", "sitemap_url"]),
     ("discovered_urls", q_discovered, O_DISCOVERED,
      ["url", "from_anchors", "from_sitemaps", "from_feeds", "crawled"]),
+    ("crawl_schedule", q_crawl_schedule, O_CRAWL_SCHEDULE,
+     ["url", "domain", "host_pr", "rank_in_host"]),
 ]

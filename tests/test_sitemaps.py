@@ -269,3 +269,20 @@ def test_crawl_schedule_composition(spark):
         ("https://a.example/2", "a.example", 7000, 2),
         ("https://b.example/x", "b.example", 0, 1),
     ]
+
+
+def test_crawl_schedule_matches_duckdb_twin(spark):
+    """The gate member: frontier × per-domain capture count (the
+    deterministic host signal) capped at 3/host, vs the DuckDB twin."""
+    from agenticknowledgegraphconstructionsystem_spark.gate_sitemaps import (
+        q_crawl_schedule,
+    )
+
+    got = sorted(tuple(r) for r in q_crawl_schedule(spark, SF_DIR).collect())
+    assert got == _duck(_member_sql("crawl_schedule"))
+    # capped, ranked 1..k per host, only uncrawled urls
+    per = {}
+    for _u, d, _p, rk in got:
+        per.setdefault(d, []).append(rk)
+    assert per and all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+                       for v in per.values())
