@@ -447,3 +447,159 @@ def drain_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Stream-maintained crawl frontier (incremental discovered_urls twin)
+# ---------------------------------------------------------------------------
+
+STREAM_FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("from_anchors", T.LongType()),
+        T.StructField("from_sitemaps", T.LongType()),
+        T.StructField("from_feeds", T.LongType()),
+        T.StructField("crawled", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+_FRONTIER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("na", T.LongType()),
+        T.StructField("ns", T.LongType()),
+        T.StructField("nf", T.LongType()),
+        T.StructField("cr", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def _frontier_fn(key, pdf_iter, state: GroupState):
+    (url,) = key
+    if state.exists:
+        na, ns, nf, cr, ver = state.get
+    else:
+        na, ns, nf, cr, ver = 0, 0, 0, 0, 0
+    for pdf in pdf_iter:
+        for src in pdf["src"]:
+            if src == "anchor":
+                na += 1
+            elif src == "sitemap":
+                ns += 1
+            elif src == "feed":
+                nf += 1
+            else:  # capture
+                cr = 1
+    ver += 1
+    state.update((na, ns, nf, cr, ver))
+    yield pd.DataFrame(
+        {
+            "url": [url],
+            "from_anchors": [na],
+            "from_sitemaps": [ns],
+            "from_feeds": [nf],
+            "crawled": [cr],
+            "version": [ver],
+        }
+    )
+
+
+def streaming_frontier(
+    pages_stream: DataFrame, url_col: str = "url", body_col: str = "html"
+) -> DataFrame:
+    """Stream-maintained crawl frontier: the incremental twin of
+    ``sitemaps.discovered_urls`` — the fetch list stays current as
+    crawl shards land, instead of being recomputed over the whole
+    corpus per run (the same incremental-materialization move as
+    :func:`streaming_entities`).
+
+    The extraction half is the SAME stateless Column pipeline the batch
+    operator runs (anchors / sitemap locs / feed items / the page's own
+    normalized url as a 'capture' event — generate + projection, no
+    aggregation), so stream and batch can't drift; only the final
+    merge is replaced by per-url state (counts + crawled flag, one row
+    per discovered url — frontier-sized, exactly the batch groupBy's
+    reducer state).  Counts stay exact under the crawl-shard contract
+    (each capture lands in exactly one micro-batch — checkpointed file
+    offsets); a page re-delivered across micro-batches WOULD
+    double-count its references, the same documented contract as
+    streaming_entities.
+
+    Emits update rows tagged with a per-url ``version``; take the
+    max-version row per url (:func:`latest_frontier`) for the current
+    frontier."""
+    from ..operators.links import extract_links
+    from ..operators.sitemaps import (
+        feed_items,
+        sitemap_index_entries,
+        sitemap_url_entries,
+    )
+    from ..operators.urls import normalize_url
+
+    from .. import semantics as S
+
+    body = F.col(body_col).cast("string")
+    is_sitemapish = (
+        body.rlike(S.SITEMAP_URLSET_KIND_RE)
+        | body.rlike(S.SITEMAP_INDEX_KIND_RE)
+        | body.rlike(S.RSS_KIND_RE)
+        | body.rlike(S.ATOM_KIND_RE)
+    )
+    anchors = (
+        extract_links(
+            pages_stream.where(~is_sitemapish), url_col=url_col, html_col=body_col
+        )
+        .select(F.col("dst_url").alias("url"), F.lit("anchor").alias("src"))
+    )
+    locs = sitemap_url_entries(pages_stream, url_col=url_col, body_col=body_col).select(
+        F.col("loc").alias("url"), F.lit("sitemap").alias("src")
+    )
+    children = sitemap_index_entries(
+        pages_stream, url_col=url_col, body_col=body_col
+    ).select(F.col("child_url").alias("url"), F.lit("sitemap").alias("src"))
+    items = feed_items(pages_stream, url_col=url_col, body_col=body_col).select(
+        F.col("item_url").alias("url"), F.lit("feed").alias("src")
+    )
+    captures = pages_stream.select(
+        normalize_url(F.col(url_col)).alias("url"), F.lit("capture").alias("src")
+    )
+    events = (
+        anchors.unionByName(locs)
+        .unionByName(children)
+        .unionByName(items)
+        .unionByName(captures)
+    )
+    return events.groupBy("url").applyInPandasWithState(
+        _frontier_fn,
+        outputStructType=STREAM_FRONTIER_SCHEMA,
+        stateStructType=_FRONTIER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_frontier(emitted: DataFrame) -> DataFrame:
+    """Batch helper over a drained :func:`streaming_frontier` sink:
+    max-version row per url, capture-only rows (zero references)
+    dropped — exactly the batch ``discovered_urls`` schema."""
+    best = emitted.groupBy("url").agg(
+        F.max(
+            F.struct(
+                F.col("version").alias("v"),
+                F.col("from_anchors").alias("na"),
+                F.col("from_sitemaps").alias("ns"),
+                F.col("from_feeds").alias("nf"),
+                F.col("crawled").alias("cr"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "url",
+        F.col("b.na").alias("from_anchors"),
+        F.col("b.ns").alias("from_sitemaps"),
+        F.col("b.nf").alias("from_feeds"),
+        F.col("b.cr").alias("crawled"),
+    ).where(
+        (F.col("from_anchors") + F.col("from_sitemaps") + F.col("from_feeds")) > 0
+    )
