@@ -33,9 +33,10 @@ _BIG = "bigint"
 _AGENT = "KGBot"
 
 _ROBOTS_TXT = [
-    # d0: exact-agent group shadows '*'
+    # d0: exact-agent group shadows '*' — incl. its Crawl-delay, so the
+    # governing group for KGBot carries NO delay (negative case)
     "# crawl policy\nUser-agent: KGBot\nDisallow: /no\nAllow: /no/yes\n\n"
-    "User-agent: *\nDisallow: /",
+    "User-agent: *\nDisallow: /\nCrawl-delay: 10",
     # d1: '*' group with comment tail, wildcard + empty Disallow dropped
     "User-agent: *  # everyone\nDisallow: /a/\nAllow: /a/b\n"
     "Disallow: /wild*\nDisallow:\nCrawl-delay: 3",
@@ -43,9 +44,10 @@ _ROBOTS_TXT = [
     "User-agent: Other\nDisallow: /\n\nUser-agent: *\nAllow: /x\nDisallow: /x",
     # d3: empty file — everything allowed
     "",
-    # d4: multi-agent header run shares rules; $ and no-slash dropped
+    # d4: multi-agent header run shares rules; $ and no-slash dropped;
+    # multiple delay lines keep the MIN, non-numeric drops
     "User-agent: KGBot\nUser-agent: *\nDisallow: noslash\nDisallow: /d$\n"
-    "Disallow: /q/",
+    "Disallow: /q/\nCrawl-delay: 7\nCrawl-delay: x\nCrawl-delay: 2",
 ]
 
 _SEGS = ["/no/yes/1", "/no/2", "/a/b/c", "/a/zz", "/x", "/x/sub", "/q/7", "/free"]
@@ -233,10 +235,91 @@ FROM u2 LEFT JOIN (SELECT * FROM bm WHERE rk = 1) bm ON u2.url = bm.url"""
 )
 
 
+def q_crawl_delays(spark, sf_dir):
+    """robots.crawl_delays: group-governed Crawl-delay — exact-agent
+    group shadows '*' (so d0's *-group delay must NOT apply to KGBot),
+    min of multiple numeric lines, non-numeric dropped."""
+    from .operators.robots import crawl_delays
+
+    return crawl_delays(robots_table(spark, sf_dir), agent=_AGENT).select(
+        "domain", "crawl_delay_sec"
+    )
+
+
+def _duck_delays(agent: str) -> str:
+    """Same group-selection CTE chain as _duck_rules, with crawl-delay
+    lines kept and the final CTE aggregating the governing group's
+    numeric delays."""
+    a = agent.lower()
+    return f"""
+rl AS (
+  SELECT domain,
+         generate_subscripts(ls, 1) - 1 AS pos,
+         unnest(ls) AS raw
+  FROM (SELECT domain, string_split(robots_txt, chr(10)) AS ls FROM rob)
+),
+pf AS (
+  SELECT domain, pos,
+         lower(regexp_extract(trim(regexp_replace(raw, '{S.ROBOTS_COMMENT_RE}', '')), '{S.ROBOTS_FIELD_RE}', 1)) AS field,
+         trim(regexp_extract(trim(regexp_replace(raw, '{S.ROBOTS_COMMENT_RE}', '')), '{S.ROBOTS_VALUE_RE}', 1)) AS value
+  FROM rl
+),
+pg AS (
+  -- allow/disallow survive run numbering: they separate contiguous
+  -- User-agent runs (same rationale as the operator)
+  SELECT * FROM pf
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+rn AS (
+  SELECT *, (field = 'user-agent') AS is_ua,
+         CASE WHEN field = 'user-agent'
+                   AND NOT coalesce(lag(field = 'user-agent')
+                       OVER (PARTITION BY domain ORDER BY pos), FALSE)
+              THEN 1 ELSE 0 END AS new_run
+  FROM pg
+),
+rr AS (
+  SELECT *, SUM(new_run) OVER (PARTITION BY domain ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM rn
+),
+bb AS (
+  SELECT *, last_value(CASE WHEN is_ua THEN run_id END IGNORE NULLS)
+              OVER (PARTITION BY domain ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua_run
+  FROM rr
+),
+gg AS (
+  SELECT domain, run_id AS g_run,
+         CASE WHEN lower(value) = '{a}' THEN 1 ELSE 2 END AS match_rank
+  FROM bb WHERE is_ua AND lower(value) IN ('{a}', '*')
+),
+bestg AS (SELECT domain, min(match_rank) AS best_rank FROM gg GROUP BY domain),
+ch AS (
+  SELECT DISTINCT g.domain, g.g_run
+  FROM gg g JOIN bestg b ON g.domain = b.domain AND g.match_rank = b.best_rank
+),
+delays AS (
+  SELECT bb.domain,
+         CAST(MIN(CAST(bb.value AS BIGINT)) AS BIGINT) AS crawl_delay_sec
+  FROM bb JOIN ch ON bb.domain = ch.domain AND bb.ua_run = ch.g_run
+  WHERE NOT bb.is_ua AND regexp_matches(bb.value, '^[0-9]+$')
+  GROUP BY bb.domain
+)"""
+
+
+O_CRAWL_DELAYS = (
+    f"WITH {_duck_robots_case()}, {_duck_delays(_AGENT)} "
+    "SELECT domain, crawl_delay_sec FROM delays"
+)
+
+
 #: folded into gate_curation's td_url_suite + CURATION_MICRO_* registries
 ROBOTS_SUITE_MEMBERS = [
     ("robots_rules", q_robots_rules, O_ROBOTS_RULES,
      ["domain", "rule", "path_prefix"]),
     ("robots_verdicts", q_robots_verdicts, O_ROBOTS_VERDICTS,
      ["url", "matched_prefix", "rule", "disallowed"]),
+    ("crawl_delays", q_crawl_delays, O_CRAWL_DELAYS,
+     ["domain", "crawl_delay_sec"]),
 ]

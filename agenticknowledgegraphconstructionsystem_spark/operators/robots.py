@@ -169,3 +169,82 @@ def robots_verdicts(
             "disallowed"
         ),
     )
+
+
+def crawl_delays(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(domain, crawl_delay_sec): the ``Crawl-delay`` of the group
+    governing ``agent`` — the de-facto politeness extension most
+    crawlers honor (not in RFC 9309 proper; same group-selection rule
+    as Allow/Disallow: exact agent beats '*', contiguous User-agent
+    runs share a group).  Non-numeric values drop; multiple delay
+    lines in one group keep the MINIMUM (the conservative read).
+    Domains without a delay line are absent — left-join and coalesce
+    to the crawler's default politeness.  Feeds crawl scheduling next
+    to sitemaps.crawl_schedule's per-host cap."""
+    agent_lc = agent.lower()
+    lines = robots.select(
+        "domain",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("pos", "raw"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(
+            F.regexp_replace(F.col("raw"), S.ROBOTS_COMMENT_RE, "")
+        ).alias("line"),
+    )
+    parsed = lines.select(
+        "domain",
+        "pos",
+        F.lower(F.regexp_extract("line", S.ROBOTS_FIELD_RE, 1)).alias("field"),
+        F.trim(F.regexp_extract("line", S.ROBOTS_VALUE_RE, 1)).alias("value"),
+    ).where(
+        # allow/disallow lines must SURVIVE run numbering: they separate
+        # contiguous User-agent runs (d0's exact and '*' groups would
+        # otherwise merge and the '*' delay would leak onto the exact
+        # agent — caught by the gate fixture)
+        F.col("field").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
+    w = Window.partitionBy("domain").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    new_run = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    runs = parsed.withColumn("run_id", F.sum(new_run.cast("int")).over(w))
+    bound = runs.withColumn(
+        "ua_run",
+        F.last(F.when(is_ua, F.col("run_id")), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    groups = (
+        bound.where(is_ua)
+        .select(
+            "domain",
+            F.col("run_id").alias("g_run"),
+            F.lower(F.col("value")).alias("g_agent"),
+        )
+        .where(F.col("g_agent").isin(agent_lc, "*"))
+        .select(
+            "domain",
+            "g_run",
+            F.when(F.col("g_agent") == agent_lc, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("match_rank"),
+        )
+    )
+    best = groups.groupBy("domain").agg(F.min("match_rank").alias("best_rank"))
+    chosen = (
+        groups.join(best, "domain")
+        .where(F.col("match_rank") == F.col("best_rank"))
+        .select(F.col("domain").alias("g_domain"), "g_run")
+        .distinct()
+    )
+    return (
+        bound.where(F.col("field") == "crawl-delay")
+        .join(
+            chosen,
+            (F.col("domain") == F.col("g_domain"))
+            & (F.col("ua_run") == F.col("g_run")),
+        )
+        .where(F.col("value").rlike(r"^[0-9]+$"))
+        .groupBy("domain")
+        .agg(F.min(F.col("value").cast("bigint")).alias("crawl_delay_sec"))
+    )

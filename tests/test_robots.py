@@ -142,3 +142,31 @@ def test_parse_plan_sorts_domains_not_corpus(spark):
     )
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+def test_crawl_delays_group_selection(spark):
+    """Crawl-delay follows the SAME group selection as Allow/Disallow:
+    the exact-agent group shadows '*' (so a *-group delay must not leak
+    onto the exact agent — allow/disallow lines keep separating UA
+    runs), min of multiple numeric lines wins, non-numeric drops,
+    delay-less domains are absent."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.robots import (
+        crawl_delays,
+    )
+    from pyspark.sql import Row
+
+    robots = spark.createDataFrame(
+        [
+            Row(domain="a.example", robots_txt=(
+                "User-agent: KGBot\nDisallow: /no\n\n"
+                "User-agent: *\nDisallow: /\nCrawl-delay: 10")),
+            Row(domain="b.example", robots_txt=(
+                "User-agent: *\nDisallow: /x\n"
+                "Crawl-delay: 7 # slow\nCrawl-delay: junk\nCrawl-delay: 2")),
+            Row(domain="c.example", robots_txt="User-agent: *\nDisallow: /p"),
+        ]
+    )
+    got = sorted(map(tuple, crawl_delays(robots, agent="KGBot").collect()))
+    assert got == [("b.example", 2)]
+    # for an agent the exact group does NOT govern, the '*' delay applies
+    got2 = sorted(map(tuple, crawl_delays(robots, agent="Other").collect()))
+    assert got2 == [("a.example", 10), ("b.example", 2)]
