@@ -90,6 +90,11 @@ def main() -> None:
         "td_stratified_sample": TEXT_MICRO_QUERIES["td_stratified_sample"],
         # curation/assembly tier (round 5): the heaviest curation report
         # and the packing window — the rest are projections/broadcasts
+        # crawl-discovery tier (round 6): the frontier merge (one shuffle
+        # + one join over the whole mixed corpus) and the SURT index
+        # (zero-exchange projection with a sha256 per payload)
+        "td_discovered_urls": CURATION_MICRO_QUERIES["td_discovered_urls"],
+        "td_cdx_records": CURATION_MICRO_QUERIES["td_cdx_records"],
         "td_repetition": CURATION_MICRO_QUERIES["td_repetition"],
         "td_pack_sequences": CURATION_MICRO_QUERIES["td_pack_sequences"],
         "td_line_dedup": CURATION_MICRO_QUERIES["td_line_dedup"],
