@@ -601,3 +601,97 @@ SITEMAP_SUITE_MEMBERS = [
     ("crawl_schedule", q_crawl_schedule, O_CRAWL_SCHEDULE,
      ["url", "domain", "host_pr", "rank_in_host"]),
 ]
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling (sitemaps.recrawl_schedule)
+# ---------------------------------------------------------------------------
+
+_RECRAWL_AS_OF = "2025-06-01"
+_FREQS = ["always", "hourly", "daily", "weekly", "monthly", "yearly",
+          "never", "quux"]
+
+
+def recrawl_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry rows exercising every CHANGEFREQ_REVISIT_DAYS branch plus
+    'never'/unknown/NULL cadences and all four lastmod forms (plain
+    date, full W3C datetime, invalid month, NULL)."""
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 4).cast("int")
+    lastmod = (
+        F.when(k == 0, tmpl_col("2025-01-0{p9}"))
+        .when(k == 1, F.lit("2025-01-03T04:05:06Z"))
+        .when(k == 2, F.lit("2025-13-01"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    f = (i % 9).cast("int")
+    freq = F.when(
+        f < 8, F.element_at(F.array(*[F.lit(x) for x in _FREQS]), f + 1)
+    ).otherwise(F.lit(None).cast("string"))
+    return docs.select(
+        tmpl_col("https://s{m3}.example/a/{id}").alias("loc"),
+        lastmod.alias("lastmod"),
+        freq.alias("changefreq"),
+    )
+
+
+def q_recrawl(spark, sf_dir):
+    """sitemaps.recrawl_schedule: lastmod/changefreq → next_fetch/due
+    — pure projection, exact date arithmetic, NULL-safe parses."""
+    from .operators.sitemaps import recrawl_schedule
+
+    return recrawl_schedule(
+        recrawl_entries(spark, sf_dir), as_of=_RECRAWL_AS_OF
+    ).select(
+        "loc",
+        F.col("lastmod_date").cast("string").alias("lastmod_date"),
+        "revisit_days",
+        F.col("next_fetch").cast("string").alias("next_fetch"),
+        "due",
+    )
+
+
+_FREQ_CASE = "CASE (doc_id % 9) " + " ".join(
+    f"WHEN {idx} THEN '{v}'" for idx, v in enumerate(_FREQS)
+) + " END"
+
+_DAYS_CASE = "CASE lower(changefreq) " + " ".join(
+    f"WHEN '{v}' THEN {d}" for v, d in S.CHANGEFREQ_REVISIT_DAYS
+) + " END"
+
+O_RECRAWL = f"""
+WITH e AS (
+  SELECT {tmpl_sql("https://s{m3}.example/a/{id}")} AS loc,
+         CASE (doc_id % 4)
+           WHEN 0 THEN {tmpl_sql("2025-01-0{p9}")}
+           WHEN 1 THEN '2025-01-03T04:05:06Z'
+           WHEN 2 THEN '2025-13-01'
+         END AS lastmod,
+         {_FREQ_CASE} AS changefreq
+  FROM documents
+),
+c AS (
+  SELECT loc,
+         TRY_CAST(substr(lastmod, 1, 10) AS DATE) AS lastmod_date,
+         CAST({_DAYS_CASE} AS BIGINT) AS revisit_days
+  FROM e
+),
+n AS (
+  SELECT loc, lastmod_date, revisit_days,
+         lastmod_date + CAST(revisit_days AS INTEGER) AS next_fetch
+  FROM c
+)
+SELECT loc, CAST(lastmod_date AS VARCHAR) AS lastmod_date, revisit_days,
+       CAST(next_fetch AS VARCHAR) AS next_fetch,
+       CAST(CASE WHEN next_fetch IS NOT NULL
+                  AND next_fetch <= DATE '{_RECRAWL_AS_OF}'
+             THEN 1 ELSE 0 END AS BIGINT) AS due
+FROM n"""
+
+
+#: appended (q_recrawl is defined below the main member list)
+SITEMAP_SUITE_MEMBERS.append(
+    ("recrawl", q_recrawl, O_RECRAWL,
+     ["loc", "lastmod_date", "revisit_days", "next_fetch", "due"])
+)

@@ -339,3 +339,35 @@ def crawl_schedule(
     if per_host_cap is not None:
         ranked = ranked.where(F.col("rank_in_host") <= per_host_cap)
     return ranked.select("url", "domain", "host_pr", "rank_in_host")
+
+
+def recrawl_schedule(entries: DataFrame, as_of: str) -> DataFrame:
+    """sitemap_url_entries output → when each mapped page should be
+    re-fetched: (loc, lastmod_date, revisit_days, next_fetch, due).
+    ``lastmod`` parses as the date prefix of the W3C datetime form
+    (try_to_date — invalid dates go NULL identically in both engines,
+    Spark runs ANSI); ``changefreq`` maps to days via
+    semantics.CHANGEFREQ_REVISIT_DAYS ('never'/unknown → NULL, no
+    auto-revisit); ``next_fetch = lastmod + revisit_days`` (exact date
+    arithmetic); ``due`` iff next_fetch ≤ ``as_of``.  Pure projection —
+    zero exchanges; feeds crawl_schedule's frontier the re-crawl half
+    of the fetch list (new urls come from discovered_urls)."""
+    lastmod_date = F.try_to_date(F.substring(F.col("lastmod"), 1, 10))
+    freq = F.lower(F.col("changefreq"))
+    days = F.lit(None).cast("int")
+    for value, d in reversed(S.CHANGEFREQ_REVISIT_DAYS):
+        days = F.when(freq == value, F.lit(d)).otherwise(days)
+    next_fetch = F.date_add(lastmod_date, days)
+    return entries.select(
+        "loc",
+        lastmod_date.alias("lastmod_date"),
+        days.cast("bigint").alias("revisit_days"),
+        next_fetch.alias("next_fetch"),
+        F.when(
+            next_fetch.isNotNull() & (next_fetch <= F.lit(as_of).cast("date")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("due"),
+    )

@@ -318,6 +318,19 @@ SITEMAP_INDEX_KIND_RE = r"<[Ss][Ii][Tt][Ee][Mm][Aa][Pp][Ii][Nn][Dd][Ee][Xx][\s>]
 RSS_KIND_RE = r"<[Rr][Ss][Ss][\s>]"
 ATOM_KIND_RE = r"<[Ff][Ee][Ee][Dd][\s>]"
 XML_STRIP_WS_RE = r"^\s+|\s+$"
+#: sitemap <changefreq> → revisit cadence in DAYS (sitemaps.org values;
+#: 'never' and unknown values map to NULL — no auto-revisit, the
+#: crawler's default policy applies).  Both engines CASE over the
+#: lowercased value; date arithmetic is date + days (exact, no floats).
+CHANGEFREQ_REVISIT_DAYS = (
+    ("always", 0),
+    ("hourly", 0),
+    ("daily", 1),
+    ("weekly", 7),
+    ("monthly", 30),
+    ("yearly", 365),
+)
+
 #: sequential literal replaces, &amp; deliberately last
 XML_ENTITIES = (
     ("&lt;", "<"),

@@ -319,3 +319,36 @@ def test_streaming_frontier_matches_batch(spark, tmp_path):
     # non-vacuous: both crawled and frontier rows present
     assert any(t[3] == 1 for t in got.values())
     assert any(t[3] == 0 for t in got.values())
+
+
+def test_recrawl_schedule_rules(spark):
+    """Cadence table, W3C-datetime prefix parse, invalid-date and
+    unknown-cadence NULLs, due boundary (next_fetch == as_of is due)."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.sitemaps import (
+        recrawl_schedule,
+    )
+
+    entries = spark.createDataFrame(
+        [
+            Row(loc="u1", lastmod="2025-01-01", changefreq="daily"),
+            Row(loc="u2", lastmod="2025-01-03T04:05:06Z", changefreq="weekly"),
+            Row(loc="u3", lastmod="2025-01-01", changefreq="yearly"),
+            Row(loc="u4", lastmod="2025-13-01", changefreq="daily"),
+            Row(loc="u5", lastmod="2025-01-01", changefreq="never"),
+            Row(loc="u6", lastmod=None, changefreq="hourly"),
+            Row(loc="u7", lastmod="2025-01-09", changefreq="daily"),
+        ]
+    )
+    got = {
+        r["loc"]: (str(r["next_fetch"]) if r["next_fetch"] else None, r["due"])
+        for r in recrawl_schedule(entries, as_of="2025-01-10").collect()
+    }
+    assert got == {
+        "u1": ("2025-01-02", 1),
+        "u2": ("2025-01-10", 1),   # boundary: == as_of is due
+        "u3": ("2026-01-01", 0),
+        "u4": (None, 0),           # invalid date → NULL, never due
+        "u5": (None, 0),           # 'never' → no auto-revisit
+        "u6": (None, 0),
+        "u7": ("2025-01-10", 1),
+    }
