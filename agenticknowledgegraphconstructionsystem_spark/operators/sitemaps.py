@@ -283,7 +283,9 @@ def crawl_schedule(
     crawled, joined to the host PageRank signal (``host_rank``:
     (node, pr) over registered domains — plans/pipeline._host_rank's
     committed table), optionally filtered by robots.txt verdicts and
-    capped per host.  → (url, domain, host_pr, rank_in_host).
+    capped per host.  → (url, domain, host_pr, rank_in_host[,
+    crawl_delay_sec when ``robots`` is given — the group-governed
+    Crawl-delay, NULL = crawler default politeness]).
 
     Determinism: within a host, urls rank by reference weight
     (anchors + sitemaps + feeds) DESC then url ASC; hosts order by
@@ -301,7 +303,7 @@ def crawl_schedule(
     (fetch_citing_papers.py:85-264) fetches whatever the API returns
     next; this is the same decision made from corpus-derived signals.
     """
-    from .robots import robots_verdicts
+    from .robots import crawl_delays, robots_verdicts
     from .urls import registered_domain
 
     todo = frontier.where(F.col("crawled") == 0).select(
@@ -311,11 +313,13 @@ def crawl_schedule(
             F.col("from_anchors") + F.col("from_sitemaps") + F.col("from_feeds")
         ).alias("n_refs"),
     )
+    delays = None
     if robots is not None:
         verdicts = robots_verdicts(todo, robots, agent=agent)
         todo = todo.join(
             verdicts.where(~F.col("disallowed")).select("url"), "url", "semi"
         )
+        delays = crawl_delays(robots, agent=agent)
     ranked = todo.join(
         F.broadcast(
             host_rank.select(
@@ -338,7 +342,13 @@ def crawl_schedule(
     ranked = ranked.withColumn("rank_in_host", F.row_number().over(w))
     if per_host_cap is not None:
         ranked = ranked.where(F.col("rank_in_host") <= per_host_cap)
-    return ranked.select("url", "domain", "host_pr", "rank_in_host")
+    out = ranked.select("url", "domain", "host_pr", "rank_in_host")
+    if delays is not None:
+        # domains are few relative to urls — broadcast, like host_rank
+        out = out.join(F.broadcast(delays), "domain", "left").select(
+            "url", "domain", "host_pr", "rank_in_host", "crawl_delay_sec"
+        )
+    return out
 
 
 def recrawl_schedule(entries: DataFrame, as_of: str) -> DataFrame:

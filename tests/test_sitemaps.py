@@ -253,7 +253,8 @@ def test_crawl_schedule_composition(spark):
     )
     host_rank = spark.createDataFrame([Row(node="a.example", pr=7000)])
     robots = spark.createDataFrame(
-        [Row(domain="a.example", robots_txt="User-agent: *\nDisallow: /no")]
+        [Row(domain="a.example",
+             robots_txt="User-agent: *\nDisallow: /no\nCrawl-delay: 4")]
     )
     got = sorted(
         tuple(r)
@@ -264,10 +265,11 @@ def test_crawl_schedule_composition(spark):
     assert got == [
         # a.example: /1 (3 refs) beats /2 (3 refs) on url ASC? no — equal
         # refs tie-break by url ASC, so /1 then /2; /3 capped out;
-        # /no/4 disallowed; /5 crawled
-        ("https://a.example/1", "a.example", 7000, 1),
-        ("https://a.example/2", "a.example", 7000, 2),
-        ("https://b.example/x", "b.example", 0, 1),
+        # /no/4 disallowed; /5 crawled.  With robots given, the
+        # group-governed Crawl-delay rides along (NULL = default).
+        ("https://a.example/1", "a.example", 7000, 1, 4),
+        ("https://a.example/2", "a.example", 7000, 2, 4),
+        ("https://b.example/x", "b.example", 0, 1, None),
     ]
 
 
