@@ -35,6 +35,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .pages import PAGES_SCHEMA
@@ -367,3 +368,106 @@ def read_wet_pages(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(fn, PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC export — the archive-production side (read_* above is ingestion)
+# ---------------------------------------------------------------------------
+
+WARC_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("ts", T.StringType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+    ]
+)
+
+
+def write_warc_shards(
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = 32,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Publish a (curated) pages table as ``out_dir/shard-NNNNN.warc.gz``
+    files — one gzip MEMBER per record, the Common Crawl layout, so an
+    index consumer can seek to ``offset``, read ``length`` bytes, and
+    gunzip exactly one record — and return the location-bearing index
+    (url, ts14, sha256 digest of the payload, filename, offset, length;
+    add the SURT key via ``operators.cdx.surt_key`` and sort via
+    ``cdx.write_cdx_sorted``'s discipline to serve it).
+
+    Determinism: shard membership is hash(url) (repartition), records
+    sort by (url, ts) within each shard — two runs over the same input
+    produce byte-identical shards and indexes.  Executors write
+    directly to ``out_dir`` (one file per partition, named by partition
+    id): on a real cluster that path must be shared storage
+    (NFS/object-store fuse) — the same contract as any
+    foreachPartition-style export; the INDEX comes back as a DataFrame
+    and commits through whatever sink the caller owns.
+
+    The action is the returned DataFrame: nothing writes until it is
+    consumed (count/collect/write) — consume it EXACTLY ONCE; re-running
+    the plan rewrites the same bytes (idempotent overwrite).
+    """
+    import gzip as _gzip
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyspark import TaskContext
+
+    cols = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    ).repartition(n_shards, "url").sortWithinPartitions("url", "ts")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh = None
+        fname = None
+        offset = 0
+        try:
+            for pdf in batches:
+                if fh is None:
+                    pid = TaskContext.get().partitionId()
+                    fname = f"shard-{pid:05d}.warc.gz"
+                    _os.makedirs(out_dir, exist_ok=True)
+                    fh = open(_os.path.join(out_dir, fname), "wb")
+                rows = []
+                for url, ts, payload in zip(
+                    pdf["url"], pdf["ts"], pdf["payload"]
+                ):
+                    body = bytes(payload) if payload is not None else b""
+                    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    rec = write_warc([(url, date, body)])
+                    # mtime=0: gzip members carry no timestamp, so the
+                    # shard bytes are run-independent (determinism pin)
+                    member = _gzip.compress(rec, mtime=0)
+                    fh.write(member)
+                    rows.append(
+                        (
+                            url,
+                            ts.strftime("%Y%m%d%H%M%S"),
+                            _hashlib.sha256(body).hexdigest(),
+                            fname,
+                            offset,
+                            len(member),
+                        )
+                    )
+                    offset += len(member)
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url", "ts", "digest", "filename", "offset", "length",
+                    ],
+                )
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return cols.mapInPandas(fn, WARC_INDEX_SCHEMA)
