@@ -415,17 +415,52 @@ def write_warc_shards(
     consumed (count/collect/write) — consume it EXACTLY ONCE; re-running
     the plan rewrites the same bytes (idempotent overwrite).
     """
+    cols = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(payload_col).cast("binary").alias("payload"),
+    )
+    return _write_member_shards(
+        cols, out_dir, n_shards,
+        lambda url, date, body: write_warc([(url, date, body)]),
+    )
+
+
+def write_wet_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 32,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """The WET twin of :func:`write_warc_shards`: publish EXTRACTED text
+    as conversion-record shards (what Common Crawl ships next to every
+    WARC) with the same seekable per-record-gzip index.  Digest is over
+    the UTF-8 text bytes."""
+    cols = docs.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
+    )
+    return _write_member_shards(
+        cols, out_dir, n_shards,
+        lambda url, date, body: write_wet(
+            [(url, date, body.decode("utf-8"))]
+        ),
+    )
+
+
+def _write_member_shards(cols, out_dir, n_shards, build) -> DataFrame:
     import gzip as _gzip
     import hashlib as _hashlib
     import os as _os
 
     from pyspark import TaskContext
 
-    cols = pages.select(
-        F.col(url_col).alias("url"),
-        F.col(ts_col).alias("ts"),
-        F.col(payload_col).cast("binary").alias("payload"),
-    ).repartition(n_shards, "url").sortWithinPartitions("url", "ts")
+    cols = cols.repartition(n_shards, "url").sortWithinPartitions("url", "ts")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fh = None
@@ -444,7 +479,7 @@ def write_warc_shards(
                 ):
                     body = bytes(payload) if payload is not None else b""
                     date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                    rec = write_warc([(url, date, body)])
+                    rec = build(url, date, body)
                     # mtime=0: gzip members carry no timestamp, so the
                     # shard bytes are run-independent (determinism pin)
                     member = _gzip.compress(rec, mtime=0)

@@ -92,3 +92,30 @@ def test_warc_export_feeds_cdx(spark, tmp_path):
     assert all(r["surt"] and r["surt"].endswith(r["url"].rsplit("/", 1)[-1])
                or r["surt"] for r in rows)
     assert {len(r["ts"]) for r in rows} == {14}
+
+
+def test_wet_shards_roundtrip(spark, tmp_path):
+    """WET conversion-record export reads back through read_wet_pages
+    with text FILLED (the P1 fallback contract) and seekable members."""
+    from agenticknowledgegraphconstructionsystem_spark.sources.warc import (
+        parse_wet,
+        read_wet_pages,
+        write_wet_shards,
+    )
+
+    docs = synthetic_pages(spark, 20).select(
+        "url", "warc_ts",
+        F.concat(F.lit("text of "), F.col("url")).alias("text"),
+    )
+    out = str(tmp_path / "wet")
+    idx = sorted(map(tuple, write_wet_shards(docs, out, n_shards=3).collect()))
+    assert len(idx) == 20
+    back = read_wet_pages(spark, f"{out}/*.warc.gz")
+    got = {r["url"]: r["text"] for r in back.collect()}
+    assert got == {r["url"]: r["text"] for r in docs.collect()}
+    url, _ts, digest, fname, offset, length = idx[0]
+    with open(os.path.join(out, fname), "rb") as f:
+        f.seek(offset)
+        recs = parse_wet(gzip.decompress(f.read(length)))
+    assert recs[0][0] == url
+    assert hashlib.sha256(recs[0][2].encode()).hexdigest() == digest
