@@ -18,6 +18,7 @@ first uncommitted stage; committed stages are read back, not recomputed
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,8 @@ STAGES = (
     "host_rank",
     "frontier",
     "cdx",
+    "export_warc",
+    "export_wet",
     "assembly",
 )
 
@@ -82,6 +85,7 @@ class Pipeline:
         graph_metrics: bool = False,
         link_graph: bool = False,
         crawl_index: bool = False,
+        export_dir: str | None = None,
         curate: bool = False,
         strip_boilerplate: bool = False,
         decontam_benchmark: DataFrame | None = None,
@@ -146,6 +150,17 @@ class Pipeline:
         CDX timestamp, sha256 digests over the payload).  Both resume
         like every stage.
 
+        ``export_dir=<path>`` adds the two archive-publication stages:
+        ``export_warc`` writes the RAW pages as per-record-gzip
+        ``<export_dir>/warc/shard-*.warc.gz`` and ``export_wet`` writes
+        the FINAL (deduped/curated) extracted text as conversion-record
+        ``<export_dir>/wet/`` shards — the Common Crawl pair — each
+        committing its location-bearing seek index (url, ts14, digest,
+        filename, offset, length) through StageStore.  The shard files
+        materialize exactly when the index stage commits, so resume
+        skips the rewrite; on a real cluster the path must be shared
+        storage (sources/warc.write_warc_shards docstring).
+
         ``assemble_ctx=<ctx_len>`` adds the corpus→training-stream
         assembly stage over the final (deduped, curated) docs: an
         optional domain-mixture resample (``mixture_targets`` — permille
@@ -173,6 +188,7 @@ class Pipeline:
         self.graph_metrics = graph_metrics
         self.link_graph = link_graph
         self.crawl_index = crawl_index
+        self.export_dir = export_dir
         self.curate = curate or strip_boilerplate
         self.strip_boilerplate = strip_boilerplate
         self.decontam_benchmark = decontam_benchmark
@@ -537,6 +553,27 @@ class Pipeline:
 
             fr = self._stage("frontier", lambda: discovered_urls(pages))
             cx = self._stage("cdx", lambda: self._cdx_records(pages))
+        ew = et = None
+        if self.export_dir is not None:
+            from ..sources.warc import write_warc_shards, write_wet_shards
+
+            ew = self._stage(
+                "export_warc",
+                lambda: write_warc_shards(
+                    pages, os.path.join(self.export_dir, "warc")
+                ),
+            )
+            wet_docs = docs.select("url", "extracted_text").join(
+                pages.select("url", "warc_ts"), "url"
+            )
+            et = self._stage(
+                "export_wet",
+                lambda: write_wet_shards(
+                    wet_docs,
+                    os.path.join(self.export_dir, "wet"),
+                    text_col="extracted_text",
+                ),
+            )
         asm = None
         if self.assemble_ctx is not None:
             # Hive-partitioned by shard: a consumer materializing one
@@ -572,6 +609,9 @@ class Pipeline:
         if fr is not None:
             out["frontier"] = fr
             out["cdx"] = cx
+        if ew is not None:
+            out["export_warc"] = ew
+            out["export_wet"] = et
         if asm is not None:
             out["assembly"] = asm
         return out

@@ -82,6 +82,13 @@ def main() -> None:
         "flag) + SURT-keyed CDX capture index with sha256 digests",
     )
     ap.add_argument(
+        "--export-dir",
+        help="archive-publication stages: write the raw pages as "
+        "<dir>/warc/ and the final extracted text as <dir>/wet/ "
+        "per-record-gzip shards, committing the seekable indexes "
+        "through StageStore",
+    )
+    ap.add_argument(
         "--curate",
         action="store_true",
         help="training-data curation stage after dedup: Gopher repetition "
@@ -154,6 +161,7 @@ def main() -> None:
         graph_metrics=args.graph_metrics,
         link_graph=args.link_graph,
         crawl_index=args.crawl_index,
+        export_dir=args.export_dir,
         curate=args.curate or bool(args.decontam_benchmark),
         strip_boilerplate=args.strip_boilerplate,
         decontam_benchmark=(
@@ -177,6 +185,9 @@ def main() -> None:
     if "frontier" in res:
         counts["frontier_urls"] = res["frontier"].count()
         counts["cdx_records"] = res["cdx"].count()
+    if "export_warc" in res:
+        counts["export_warc_records"] = res["export_warc"].count()
+        counts["export_wet_records"] = res["export_wet"].count()
     if "assembly" in res:
         counts["assembly_rows"] = res["assembly"].count()
     if args.sql_views:

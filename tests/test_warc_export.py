@@ -119,3 +119,34 @@ def test_wet_shards_roundtrip(spark, tmp_path):
         recs = parse_wet(gzip.decompress(f.read(length)))
     assert recs[0][0] == url
     assert hashlib.sha256(recs[0][2].encode()).hexdigest() == digest
+
+
+def test_pipeline_export_stages(spark, tmp_path):
+    """Pipeline(export_dir=...) commits both publication indexes through
+    StageStore; the shard files land under warc/ and wet/, WET text is
+    the FINAL extracted text, and resume skips the rewrite."""
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.warc import (
+        read_wet_pages,
+    )
+
+    pages = synthetic_pages(spark, 25)
+    exp = str(tmp_path / "pub")
+    p = Pipeline(spark, str(tmp_path / "st"), run_id="e1", export_dir=exp)
+    r = p.run(pages)
+    assert {"export_warc", "export_wet"} <= set(p._recomputed)
+    assert r["export_warc"].count() == 25
+    assert glob.glob(f"{exp}/warc/*.warc.gz") and glob.glob(f"{exp}/wet/*.warc.gz")
+    # WET shards carry the extracted text of the FINAL docs
+    wet = {r2["url"]: r2["text"] for r2 in
+           read_wet_pages(spark, f"{exp}/wet/*.warc.gz").collect()}
+    docs = {r2["url"]: (r2["extracted_text"] or "")
+            for r2 in r["docs"].collect()}
+    assert wet == docs and len(wet) == 25
+    # resume: nothing recomputes, indexes read back committed
+    p2 = Pipeline(spark, str(tmp_path / "st"), run_id="e2", export_dir=exp)
+    r2 = p2.run(pages)
+    assert p2._recomputed == []
+    assert r2["export_wet"].count() == 25
