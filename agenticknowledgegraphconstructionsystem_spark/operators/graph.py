@@ -351,3 +351,81 @@ def pagerank_fixed_point(
         else:
             scores = new_scores
     return scores
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+) -> DataFrame:
+    """Kleinberg's HITS over a directed (src, dst) edge list →
+    (node, hub, authority) after ``iters`` mutual-reinforcement rounds,
+    max-normalized to 1.0 each half-step: authority(v) = Σ hub of
+    in-neighbors, hub(u) = Σ authority of out-neighbors — the classic
+    complement to PageRank for link graphs (a nav hub and the page
+    everyone cites get DIFFERENT scores here, identical ones there).
+
+    Scores are doubles: the per-round sums are float partial-sum-order
+    dependent, so HITS is pytest-verified against an independent numpy
+    power iteration (rank order and per-score tolerance) rather than
+    hash-gated — the documented clustering.py / streaming precedent.
+    Max-normalization (not L2) keeps every round's scalar a plain
+    ``max`` aggregate.
+
+    Scale shape: per round, one join shuffled on ``src`` + one agg on
+    ``dst`` and the mirror pair — the pagerank_fixed_point exchange
+    pattern exactly; the normalizing max is a 1-row broadcast
+    (crossJoin), never a collect.  Dangling/orphan nodes keep score 0
+    from the LEFT joins back to the node set.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("h", F.lit(1.0))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .withColumnRenamed("dst", "node")
+        )
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        amax = auth.agg(F.max(F.when(F.col("a") > 0, F.col("a"))).alias("m"))
+        auth = auth.crossJoin(F.broadcast(amax)).select(
+            "node",
+            F.when(F.col("m").isNull(), F.lit(0.0))
+            .otherwise(F.col("a") / F.col("m"))
+            .alias("a"),
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .withColumnRenamed("src", "node")
+        )
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        hmax = hub.agg(F.max(F.when(F.col("h") > 0, F.col("h"))).alias("m"))
+        hub = hub.crossJoin(F.broadcast(hmax)).select(
+            "node",
+            F.when(F.col("m").isNull(), F.lit(0.0))
+            .otherwise(F.col("h") / F.col("m"))
+            .alias("h"),
+        )
+        # each half-step references its input TWICE (raw sum + its own
+        # max), so the uncut plan doubles per half-step — 4^iters nodes;
+        # one cut per round keeps it linear (the pagerank discipline)
+        hub = cut_lineage(hub)
+        auth = cut_lineage(auth)
+    return (
+        hub.join(auth, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )

@@ -165,3 +165,63 @@ def test_pagerank_tol_early_stop_is_exact_prefix(spark):
     }
     assert graph.LAST_PAGERANK_ITERS == k
     assert early == fixed
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS vs an independent numpy mutual-reinforcement loop on a
+    seeded random digraph: same max-normalization, per-score tolerance
+    + identical rank order; hub≠authority roles distinguish (a pure
+    out-pointer is a hub with zero authority and vice versa)."""
+    import random
+
+    import numpy as np
+
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        hits_scores,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(160)
+                    if True})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits_scores(df, iters=8).collect()}
+
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = 1.0
+    h = np.ones(n)
+    for _ in range(8):
+        a_vec = A.T @ h
+        if a_vec.max() > 0:
+            a_vec = a_vec / a_vec.max()
+        h = A @ a_vec
+        if h.max() > 0:
+            h = h / h.max()
+    nodes = sorted({x for e in edges for x in e})
+    for v in nodes:
+        gh, ga = got[v]
+        assert abs(gh - h[v]) < 1e-9 and abs(ga - a_vec[v]) < 1e-9
+    # rank order identical on both axes
+    want_h = sorted(nodes, key=lambda v: (-h[v], v))
+    got_h = sorted(nodes, key=lambda v: (-got[v][0], v))
+    assert want_h == got_h
+
+
+def test_hits_star_roles(spark):
+    """A star u→{v1..v4}: u is the unique hub (authority 0), the leaves
+    are the authorities (hub 0) — the role split PageRank can't see."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        hits_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits_scores(df, iters=4).collect()}
+    assert got[0] == (1.0, 0.0)
+    for v in range(1, 5):
+        assert got[v] == (0.0, 1.0)
