@@ -62,6 +62,7 @@ STAGES = (
     "graph_metrics",
     "link_graph",
     "host_rank",
+    "host_hits",
     "frontier",
     "cdx",
     "export_warc",
@@ -547,6 +548,7 @@ class Pipeline:
 
             lg = self._stage("link_graph", lambda: link_edges(pages))
             hr = self._stage("host_rank", lambda: self._host_rank(lg))
+            hh = self._stage("host_hits", lambda: self._host_hits(lg))
         fr = cx = None
         if self.crawl_index:
             from ..operators.sitemaps import discovered_urls
@@ -606,6 +608,7 @@ class Pipeline:
         if lg is not None:
             out["link_graph"] = lg
             out["host_rank"] = hr
+            out["host_hits"] = hh
         if fr is not None:
             out["frontier"] = fr
             out["cdx"] = cx
@@ -645,6 +648,17 @@ class Pipeline:
             ).alias("payload"),
         )
         return cdx_records(caps, payload_col="payload")
+
+    def _host_hits(self, edges: DataFrame) -> DataFrame:
+        """Committed page edges → (node, hub, authority): Kleinberg
+        HITS over the registered-domain rollup — the role-splitting
+        complement to host_rank (a nav hub and the domain everyone
+        cites score apart here; graph.hits_scores docstring)."""
+        from ..operators.graph import hits_scores
+        from ..operators.links import host_rollup
+
+        hosts = host_rollup(edges).select("src_domain", "dst_domain")
+        return hits_scores(hosts, src="src_domain", dst="dst_domain", iters=8)
 
     def _assemble(self, docs: DataFrame) -> DataFrame:
         """Corpus → training stream over the FINAL docs (post-dedup,

@@ -245,3 +245,42 @@ def test_host_graph_pagerank_composition(spark):
         ).collect()
     }
     assert rows == rows2
+
+
+def test_pipeline_host_hits_stage(spark, tmp_path):
+    """link_graph=True also commits HITS over the host rollup: the hub
+    domain (example.org, pure out-pointer) and the authority
+    (example.com, pure in-target) split roles — and the stage equals
+    the standalone operator."""
+    from agenticknowledgegraphconstructionsystem_spark.operators.graph import (
+        hits_scores,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.operators.links import (
+        host_rollup,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.plans.pipeline import (
+        Pipeline,
+    )
+    from agenticknowledgegraphconstructionsystem_spark.sources.pages import (
+        synthetic_pages,
+    )
+
+    base = synthetic_pages(spark, 20)
+    pages = base.withColumn(
+        "html",
+        F.concat(
+            F.col("html").cast("string"),
+            F.lit('<a href="https://hub.example.com/h">hub</a>'),
+        ).cast("binary"),
+    )
+    p = Pipeline(spark, str(tmp_path / "hh"), run_id="h1", link_graph=True)
+    r = p.run(pages)
+    got = {row["node"]: (row["hub"], row["authority"])
+           for row in r["host_hits"].collect()}
+    assert got["example.org"] == (1.0, 0.0)
+    assert got["example.com"] == (0.0, 1.0)
+    hosts = host_rollup(r["link_graph"]).select("src_domain", "dst_domain")
+    want = {row["node"]: (row["hub"], row["authority"])
+            for row in hits_scores(hosts, src="src_domain",
+                                   dst="dst_domain", iters=8).collect()}
+    assert got == want
