@@ -560,8 +560,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     but never ships.  The DuckDB oracle unrolls the same iterations as
     chained CTEs; scores are bit-identical, not approximately equal."""
     from .operators.graph import pagerank_fixed_point
+    from .session import cut_lineage
 
-    kept = _comention_edges(spark, sf_dir)
+    # Materialize the quadratic edge build ONCE before fanning out: the
+    # symmetrizing union references it twice, and pagerank's static-input
+    # construction (nodes distinct / out-degree join / dangling anti-join)
+    # re-reads the edge list ~4× — uncut, that re-ran the Σdf² pair join
+    # ~8× per query (measured 270 s at sf1; the Pipeline's graph_metrics
+    # stage always cut here, only the gate path was missing it).
+    kept = cut_lineage(_comention_edges(spark, sf_dir))
     edges = kept.select(F.col("da").alias("src"), F.col("db").alias("dst")).unionByName(
         kept.select(F.col("db").alias("src"), F.col("da").alias("dst"))
     )
@@ -575,8 +582,13 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient numerator, found once per triangle with no
     post-dedup."""
     from .operators.graph import triangle_counts
+    from .session import cut_lineage
 
-    kept = _comention_edges(spark, sf_dir).select(
+    # Same discipline as q_pagerank: the degree orientation inside
+    # triangle_counts reads its input ~5× (degree agg scans both endpoint
+    # projections + two orientation joins) — cut the quadratic edge build
+    # once so those re-reads hit a checkpoint, not the Σdf² pair join.
+    kept = cut_lineage(_comention_edges(spark, sf_dir)).select(
         F.col("da").alias("src"), F.col("db").alias("dst")
     )
     t = triangle_counts(kept)

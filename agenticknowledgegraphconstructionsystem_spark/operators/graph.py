@@ -79,7 +79,20 @@ def comention_edges(
         .select("name")
     )
     mfk = mf.join(F.broadcast(keep), "name")
-    a, b = mfk.alias("a"), mfk.alias("b")
+    # The pairing join EXPLODES ~df² rows per name out of a small input.
+    # Left to itself the planner broadcasts the build side and streams the
+    # probe side at SCAN parallelism (1-2 parquet splits), so the entire
+    # Σdf² pair generation + partial aggregation runs on 1-2 cores — the
+    # measured sf1 killer (83 s single-threaded vs ~3 s parallel).  An
+    # explicit repartition on the left endpoint key fixes both halves at
+    # once: explicit numPartitions is never AQE-coalesced (the exploding
+    # output is invisible to AQE's input-byte estimates), and because
+    # HashPartitioning(a.key) satisfies ClusteredDistribution(da, db),
+    # the groupBy(da, db) aggregation afterwards needs NO further
+    # exchange — one small shuffle of the probe side replaces a
+    # single-threaded explosion AND the pair-row shuffle.
+    nparts = int(mentions.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a, b = mfk.repartition(nparts, key).alias("a"), mfk.alias("b")
     return (
         a.join(
             b,
@@ -174,7 +187,15 @@ def triangle_counts(
         # checkpointed).  At cluster scale the equivalent move is
         # committing the oriented edge table to storage first.
         oriented = oriented.transform(cut_lineage)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # Closing join as SHUFFLED HASH, not sort-merge: the wedge side is
+    # ~|wedges| rows (353M at sf1 — two orders of magnitude above the
+    # edge list) and SMJ's sort of it dominated the query; hashing the
+    # edge-list side per partition skips that sort entirely and, unlike a
+    # broadcast close, never holds the whole edge list per executor
+    # (build side is |E|/nparts rows — cluster-safe).  Interleaved A/B at
+    # sf1, min-of-2: SHJ 9.6 s vs SMJ 22.2 s vs broadcast close 17.1 s.
+    e3 = oriented.hint("shuffle_hash").alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
@@ -188,11 +209,14 @@ def triangle_counts(
             F.col("e2.dst").alias("c"),
         )
     )
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    # ONE pass over the triangle rows: explode emits the 3 member nodes
+    # in-plan and the count aggregates map-side over ≤|V| keys.  The
+    # previous 3-way unionByName of projections of ``tri`` re-evaluated
+    # the whole wedge+closing join pipeline per branch (Spark does no
+    # cross-branch common-subexpression elimination) and shuffled
+    # 3·|triangles| rows into the groupBy — at sf1 (155.7M triangles)
+    # that was 3 joins + a 467M-row exchange for the same answer.
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return members.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
 
 
@@ -379,8 +403,13 @@ def hits_scores(
     (crossJoin), never a collect.  Dangling/orphan nodes keep score 0
     from the LEFT joins back to the node set.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    # static inputs pinned ONCE before the loop (the pagerank_fixed_point
+    # discipline, graph.py above): uncut, every one of the ``iters``
+    # rounds re-derived the node-set distinct (a full shuffle over the
+    # edge list) and re-scanned the caller's edge plan — ~4 avoidable
+    # full-edge scans per round on a large link graph (round-6 weak).
+    e = cut_lineage(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    nodes = cut_lineage(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
@@ -394,8 +423,16 @@ def hits_scores(
             .agg(F.sum("h").alias("a"))
             .withColumnRenamed("dst", "node")
         )
-        auth = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        # cut the PRE-normalization vector: it is referenced twice (the
+        # normalizing max aggregate + the main branch), so uncut each
+        # half-step re-evaluated the e⋈scores join for the max — cutting
+        # here makes both references read one node-sized checkpoint, and
+        # the normalized outputs downstream are then cheap projections
+        # over it (no end-of-round cut needed).
+        auth = cut_lineage(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+            )
         )
         amax = auth.agg(F.max(F.when(F.col("a") > 0, F.col("a"))).alias("m"))
         auth = auth.crossJoin(F.broadcast(amax)).select(
@@ -410,8 +447,10 @@ def hits_scores(
             .agg(F.sum("a").alias("h"))
             .withColumnRenamed("src", "node")
         )
-        hub = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        hub = cut_lineage(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+            )
         )
         hmax = hub.agg(F.max(F.when(F.col("h") > 0, F.col("h"))).alias("m"))
         hub = hub.crossJoin(F.broadcast(hmax)).select(
@@ -420,11 +459,6 @@ def hits_scores(
             .otherwise(F.col("h") / F.col("m"))
             .alias("h"),
         )
-        # each half-step references its input TWICE (raw sum + its own
-        # max), so the uncut plan doubles per half-step — 4^iters nodes;
-        # one cut per round keeps it linear (the pagerank discipline)
-        hub = cut_lineage(hub)
-        auth = cut_lineage(auth)
     return (
         hub.join(auth, "node")
         .select("node", F.col("h").alias("hub"), F.col("a").alias("authority"))

@@ -324,7 +324,17 @@ def pairwise_shared_concepts(
     df_per_name = m.groupBy("name").agg(F.countDistinct("url").alias("df"))
     keep = df_per_name.where(F.col("df") <= cap).select("name")
     mf = m.join(F.broadcast(keep), "name")
-    a = mf.alias("a")
+    # Explicit repartition of the probe side on the left endpoint: the
+    # pair join explodes ~df² rows out of a small input, so the planner's
+    # broadcast join would stream it at scan parallelism (1-2 tasks) and
+    # AQE cannot see the explosion in its input-byte estimates.  The
+    # explicit numPartitions is never AQE-coalesced, and because
+    # HashPartitioning(a.url) satisfies ClusteredDistribution(url_a,
+    # url_b) the _bucket_agg groupBy needs no further exchange — the
+    # graph.comention_edges discipline (measured there: 83 s → ~3 s at
+    # sf1 for the same Σdf² explosion).
+    nparts = int(mentions.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = mf.repartition(nparts, "url").alias("a")
     b = mf.alias("b")
     pairs = (
         a.join(b, F.col("a.name") == F.col("b.name"))
