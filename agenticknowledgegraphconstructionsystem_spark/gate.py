@@ -21,6 +21,7 @@ from .operators.entities import (
     top_concepts,
 )
 from .operators.mentions import clean_mentions, detect_mentions_native
+from .session import spread_scan
 from .operators.relationships import discover_relationships
 from .operators.triples import build_triples
 from .operators.validation import (
@@ -33,8 +34,14 @@ from .operators.validation import (
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet with the pipeline's expected column names; the
     bigint doc_id plays the url role (deterministic, reversible)."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("url"), F.col("text").alias("extracted_text")
+    # single-row-group input: spread the scan so the mention detector and
+    # every fused per-row stage above the first exchange parallelize
+    # (session.spread_scan)
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("url"), F.col("text").alias("extracted_text")
+        ),
+        "url",
     )
 
 

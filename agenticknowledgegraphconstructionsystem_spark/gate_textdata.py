@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import word_ngram_shingles
+from .session import spread_scan
 from .operators.similarity import _dot, _norm
 from .operators.textstats import (
     LANG_MARKERS,
@@ -30,11 +31,13 @@ _BIG = "bigint"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group input: spread the scan or every per-row text stage
+    # above the first exchange runs on one core (session.spread_scan)
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spread_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,35 @@ def cut_lineage(
             spark.conf.set("spark.sql.adaptive.enabled", restore)
 
 
+def spread_scan(df: DataFrame, *key_cols: str, nparts: int | None = None) -> DataFrame:
+    """Restore parallelism lost to unsplittable input layout.
+
+    The corpus parquet files ship as a SINGLE row group per file (verified
+    with pyarrow at every sf), so Spark's split machinery caps the scan —
+    and therefore every per-row stage fused above the first exchange
+    (shingling, mention detection, simhash folds, repetition profiles) —
+    at ONE task regardless of ``maxPartitionBytes`` / ``minPartitionNum``
+    (a split only does work when a row-group midpoint falls inside it).
+    The guide's remedy for unsplittable inputs is to repartition right
+    after the read: one cheap exchange of the raw rows buys every
+    downstream map stage full parallelism.
+
+    Hash-repartition on deterministic key columns, never round-robin:
+    a keyed exchange skips the sort-before-repartition pass that
+    round-robin pays for retry-stability, and the explicit numPartitions
+    is never AQE-coalesced.  ``SPARK_GRAFT_SCAN_SPREAD=0`` disables it
+    for deployments whose inputs are already well-laid-out (many row
+    groups / many files), where the extra exchange is pure cost.
+    """
+    if os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
+        return df
+    if nparts is None:
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import functions as F
+
+    return df.repartition(nparts, *[F.col(c) for c in key_cols])
+
+
 def get_spark(
     app_name: str = "kg-construct",
     cores: int | str | None = None,

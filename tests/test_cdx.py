@@ -118,8 +118,13 @@ def test_write_cdx_sorted_roundtrip(spark, tmp_path):
 
 
 def test_cdx_records_plan_zero_exchanges(spark):
+    """The OPERATOR adds zero exchanges: the only Exchange in the plan is
+    the deliberate scan-spread repartition the gate's _docs inserts for
+    single-row-group inputs (session.spread_scan, shuffleOrigin
+    REPARTITION_BY_NUM) — none is planner-forced (ENSURE_REQUIREMENTS)."""
     plan = cdx_records(cdx_pages(spark, SF_DIR))._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM")
 
 
 def test_pipeline_crawl_index_stages(spark, tmp_path):
