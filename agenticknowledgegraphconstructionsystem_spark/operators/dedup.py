@@ -135,6 +135,7 @@ def capped_band_pairs(
     max_bucket: int | None,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    dedup: bool = True,
 ) -> DataFrame:
     """LSH blocking self-join with a hot-bucket cap.
 
@@ -169,12 +170,17 @@ def capped_band_pairs(
         ).drop("_bucket_sz")
     a = banded.select(F.col(key).alias(id_a), "band_id", "band_hash")
     b = banded.select(F.col(key).alias(id_b), "band_id", "band_hash")
-    return (
+    out = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col(id_a) < F.col(id_b))
         .select(id_a, id_b)
-        .distinct()
     )
+    # ``dedup=False`` lets a caller whose per-pair work is cheap and
+    # deterministic (e.g. a codegen'd cosine) defer the duplicate-collision
+    # collapse until after its selective filter: the distinct then acts on
+    # the surviving rows instead of exchanging the full collision set, and
+    # the final pair set is identical (same pair → same computed value).
+    return out.distinct() if dedup else out
 
 
 def dropped_band_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:

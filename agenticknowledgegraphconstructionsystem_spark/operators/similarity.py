@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .. import semantics as S
 from ..functions.vector import pairwise_cosine_udf, rhp_signature_udf
-from .dedup import DEFAULT_MAX_BUCKET, capped_band_pairs
+from .dedup import DEFAULT_MAX_BUCKET, _maybe_persist, capped_band_pairs
 
 
 def _dot(a, b):
@@ -32,6 +32,35 @@ def _dot(a, b):
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def _seq_dot_expr(a, b, dim: int):
+    """Left-fold dot product unrolled to a codegen'd Column expression:
+    ``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` — the EXACT IEEE association
+    of the Arrow kernel (functions/vector._seq_dot) and the Column HOF
+    fold, so the double is bit-identical to both, with zero Python
+    boundary and no interpreted-lambda evaluation.  Requires the true
+    vector length (out-of-range getItem would yield NULL)."""
+    acc = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + a.getItem(d) * b.getItem(d)
+    return acc
+
+
+def _seq_sq_norm_expr(a, dim: int):
+    acc = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + a.getItem(d) * a.getItem(d)
+    return acc
+
+
+def cosine_expr(a, b, dim: int):
+    """cosine(a, b) as a whole-stage-codegen'd expression — bit-identical
+    to functions/vector.pairwise_cosine_udf (sequential dot / sum-of-
+    squares folds, IEEE sqrt then multiply then divide, same order)."""
+    return _seq_dot_expr(a, b, dim) / (
+        F.sqrt(_seq_sq_norm_expr(a, dim)) * F.sqrt(_seq_sq_norm_expr(b, dim))
     )
 
 
@@ -311,17 +340,29 @@ def embedding_near_duplicates(
     planes = S.rhp_planes(dim, num_planes, seed)
     sig_udf = rhp_signature_udf(planes)
     # vectorized signature kernel, materialized once per row before band
-    # extraction (the band array references it `bands` times)
-    banded = corpus.select(
-        F.col(id_col),
-        sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
-    ).select(
-        F.col(id_col),
-        F.posexplode(_band_arr(F.col("_sig"), num_planes, bands)).alias(
-            "band_id", "band_hash"
+    # extraction (the band array references it `bands` times).  The banded
+    # table feeds FOUR plan branches (bucket sizes, both self-join sides;
+    # Spark does no cross-branch CSE) — persist the narrow (id, band)
+    # rows so the signature ArrowEval runs once, not once per branch
+    # (sf1 plan before: 20 ArrowEvalPython nodes for one logical pass).
+    banded = _maybe_persist(
+        corpus.select(
+            F.col(id_col),
+            sig_udf(F.col(vec_col).cast("array<double>")).alias("_sig"),
+        ).select(
+            F.col(id_col),
+            F.posexplode(_band_arr(F.col("_sig"), num_planes, bands)).alias(
+                "band_id", "band_hash"
+            ),
         ),
+        True,
     )
-    pairs = capped_band_pairs(banded, id_col, max_bucket)
+    # dedup=False: a pair sharing k bands is scored k times by the cheap
+    # codegen'd cosine and collapsed AFTER the selective >= threshold cut,
+    # so the distinct exchanges only survivors instead of the full
+    # collision set (identical final pairs — cosine is a pure function of
+    # the joined vectors).
+    pairs = capped_band_pairs(banded, id_col, max_bucket, dedup=False)
     vecs = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -333,7 +374,11 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            pairwise_cosine_udf(F.col("va"), F.col("vb")).alias("cosine"),
+            # unrolled JVM fold — bit-identical to pairwise_cosine_udf
+            # (same IEEE association) with no JVM→Python transfer of the
+            # |collisions| × 2·dim doubles (the measured sf1 wall)
+            cosine_expr(F.col("va"), F.col("vb"), dim).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .distinct()
     )

@@ -62,6 +62,39 @@ def cut_lineage(
             spark.conf.set("spark.sql.adaptive.enabled", restore)
 
 
+#: rows per spread partition (env ``SPARK_GRAFT_SPREAD_ROWS``): sized so a
+#: compute-heavy per-row stage (mention detection, shingling) gets full
+#: core utilization at 10x-gate scale while a tiny input skips the
+#: exchange entirely — the scale-adaptive middle ground between "always
+#: repartition to 2x cores" (pure overhead at sf<=0.1: measured +0.7 s on
+#: td_dedup_rate, +2.5 s on td_emb_near_dup) and "never" (single-task
+#: scans at sf1: measured 7.8 s mention detection on one core).
+SPREAD_ROWS_PER_PART = int(os.environ.get("SPARK_GRAFT_SPREAD_ROWS", "512"))
+
+
+def _scan_rows(df: DataFrame) -> int | None:
+    """Total parquet rows behind ``df``'s scan, from file footers on the
+    driver (no Spark job).  None when the inputs are not local parquet
+    files — callers fall back to the full shuffle-partition spread."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return None
+            total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def spread_scan(df: DataFrame, *key_cols: str, nparts: int | None = None) -> DataFrame:
     """Restore parallelism lost to unsplittable input layout.
 
@@ -75,6 +108,16 @@ def spread_scan(df: DataFrame, *key_cols: str, nparts: int | None = None) -> Dat
     after the read: one cheap exchange of the raw rows buys every
     downstream map stage full parallelism.
 
+    The partition count is SCALE-ADAPTIVE (guide §2: derive partitioning
+    from input size, never a constant tuned for one scale): ceil(rows /
+    SPREAD_ROWS_PER_PART) capped at the session's shuffle partitions,
+    with the row count read from the parquet footers on the driver (no
+    job).  A small input (<= one partition's worth) skips the exchange
+    outright — the fixed 2x-cores spread was measured pure overhead at
+    gate scale (+0.5-2.5 s per query at sf0.1) while the same spread is
+    a 10x win at sf1.  Unknown layouts (non-local / non-parquet) take
+    the full spread, matching the pre-adaptive behavior.
+
     Hash-repartition on deterministic key columns, never round-robin:
     a keyed exchange skips the sort-before-repartition pass that
     round-robin pays for retry-stability, and the explicit numPartitions
@@ -85,7 +128,14 @@ def spread_scan(df: DataFrame, *key_cols: str, nparts: int | None = None) -> Dat
     if os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") == "0":
         return df
     if nparts is None:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        rows = _scan_rows(df)
+        if rows is None:
+            nparts = cap
+        else:
+            nparts = min(cap, (rows + SPREAD_ROWS_PER_PART - 1) // SPREAD_ROWS_PER_PART)
+        if nparts <= 1:
+            return df
     from pyspark.sql import functions as F
 
     return df.repartition(nparts, *[F.col(c) for c in key_cols])
