@@ -331,6 +331,14 @@ def minhash_near_duplicates(
     columns make the result oracle-checkable without float compares.
     """
     sh, banded = minhash_banded_signatures(docs, key, text_col, n, num_hashes, bands)
+    # persist the NARROW (key, band) table too: capped_band_pairs references
+    # it three times (bucket sizes + both self-join sides), and each uncut
+    # reference re-runs the 32-min signature aggregation over the shingle
+    # table (no cross-branch CSE; exchange reuse does not cover the
+    # aggregation's map side).  One (key, band_id, band_hash) row per doc
+    # band is corpus-linear and orders of magnitude narrower than the
+    # shingle table already persisted above.
+    banded = _maybe_persist(banded, True)
     cand = capped_band_pairs(banded, key, max_bucket)
     return _jaccard_verify(cand, sh, key, threshold)
 
