@@ -69,6 +69,44 @@ def main() -> None:
     merged["kg_pairwise_capped"] = _pairwise_capped
     merged["kg_detect_mentions"] = _detect
 
+    # the bench.py canonicalize specials (NOT the exact-blocking gate
+    # query of the same name): LSH blocking over the entity table, and
+    # the 20x-name-universe variant
+    def _canon_ents(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        from agenticknowledgegraphconstructionsystem_spark.operators.entities import (
+            build_entities,
+        )
+
+        return build_entities(_cached_mentions(spark_, sf_dir_)).select(
+            "name", "mention_count"
+        )
+
+    def _canonicalize_bench(spark_, sf_dir_):
+        from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+            canonicalize,
+        )
+
+        return canonicalize(_canon_ents(spark_, sf_dir_))
+
+    def _canonicalize_20x(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        from agenticknowledgegraphconstructionsystem_spark.operators.linking import (
+            canonicalize,
+        )
+
+        ents = _canon_ents(spark_, sf_dir_)
+        big = ents.crossJoin(spark_.range(20).select(F.col("id").alias("_v"))).select(
+            F.concat(F.col("name"), F.lit(" variant "), F.col("_v")).alias("name"),
+            "mention_count",
+        )
+        return canonicalize(big)
+
+    merged["kg_canonicalize_bench"] = _canonicalize_bench
+    merged["kg_canonicalize_20x"] = _canonicalize_20x
+
     spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     _cached_mentions(spark, sf_dir)
 
