@@ -459,24 +459,20 @@ def canonicalize(
     members = entities.join(comp, "name", "left").withColumn(
         "component", F.coalesce(F.col("component"), F.xxhash64("name"))
     )
-    best = members.groupBy("component").agg(
-        F.max(
+    # canonical member = highest mention_count, tie-break smallest name —
+    # ONE map-side-combinable aggregate: min(struct(-mc, name)) orders by
+    # mention_count DESC then name ASC, so b.nm IS the canonical name.
+    # (Replaces the former three-step max-struct → top-count join → min
+    # agg: same deterministic winner, two fewer shuffles and one fewer
+    # evaluation of the members subtree.)
+    canon = members.groupBy("component").agg(
+        F.min(
             F.struct(
-                F.col("mention_count").alias("mc"),
-                # invert name ordering so max() picks the lexicographically
-                # smallest name among ties — deterministic
+                (-F.col("mention_count")).alias("negmc"),
                 F.col("name").alias("nm"),
             )
         ).alias("b")
-    )
-    # max(struct) picks highest mention_count then highest name; flip to
-    # smallest name via a two-step: min name among max-count members
-    top_count = members.join(best, "component").where(
-        F.col("mention_count") == F.col("b.mc")
-    )
-    canon = top_count.groupBy("component").agg(
-        F.min("name").alias("canonical_name")
-    )
+    ).select("component", F.col("b.nm").alias("canonical_name"))
     return members.join(canon, "component").select(
         "name", "canonical_name", "component"
     )
