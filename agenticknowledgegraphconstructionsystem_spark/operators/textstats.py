@@ -159,10 +159,14 @@ def winnow_fingerprints(
         from ..functions.hashing import winnow_fp_udf
 
         fp_udf = winnow_fp_udf(k, w)
-        return (
-            docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0))
-            .select(F.col(key), F.explode(fp_udf(t)).alias("fp"))
-            .distinct()
+        # NO .distinct(): the kernel already emits np.unique(sel) per
+        # document, so (key, fp) rows are distinct as long as ``key`` is
+        # unique in ``docs`` (the documents-table contract every caller
+        # holds).  The former distinct was a full exchange of the entire
+        # fingerprint table doing nothing — the downstream df-cut /
+        # size aggregations shuffle on their own keys regardless.
+        return docs.where(F.col(text_col).isNotNull() & (F.length(t) > 0)).select(
+            F.col(key), F.explode(fp_udf(t)).alias("fp")
         )
     # lower(text) bound to a column before the k-gram lambda (HOF-binding
     # lesson, PLANS.md round 5): embedded in the lambda it would re-lower
