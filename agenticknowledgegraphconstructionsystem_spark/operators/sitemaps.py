@@ -218,40 +218,86 @@ def discovered_urls(
     one row per normalized url with per-source reference counts and a
     ``crawled`` flag (the url is already a capture in ``pages``).
 
-    Scale shape: three generate-only extractions union (no barrier —
-    each is linear in its own block count), then ONE groupBy-url
-    shuffle merges sources; the crawled flag is a left join against
-    the distinct normalized capture urls.  ``crawled = 0`` rows ARE
-    the frontier."""
-    from .links import extract_links
+    Scale shape: ONE pass over pages — the body is scanned once, the
+    four kind tests bind to columns, every block family extracts into an
+    array in the same projection, and a single Generate explodes the
+    concatenated (kind, block) structs (before: four branch subplans
+    each re-scanned + re-exchanged the pages input, the measured
+    majority of the query wall at 10x gate scale).  Then ONE
+    groupBy-url shuffle merges sources; the crawled flag is a left join
+    against the distinct normalized capture urls.  ``crawled = 0`` rows
+    ARE the frontier."""
+    from .links import resolve_href
 
     body = F.col(body_col).cast("string")
+    bound = pages.select(
+        F.col(url_col).alias("_src_url"),
+        body.alias("_body"),
+        body.rlike(S.SITEMAP_URLSET_KIND_RE).alias("_k_urlset"),
+        body.rlike(S.SITEMAP_INDEX_KIND_RE).alias("_k_index"),
+        body.rlike(S.RSS_KIND_RE).alias("_k_rss"),
+        body.rlike(S.ATOM_KIND_RE).alias("_k_atom"),
+    )
+    b = F.col("_body")
     is_sitemapish = (
-        body.rlike(S.SITEMAP_URLSET_KIND_RE)
-        | body.rlike(S.SITEMAP_INDEX_KIND_RE)
-        | body.rlike(S.RSS_KIND_RE)
-        | body.rlike(S.ATOM_KIND_RE)
+        F.col("_k_urlset") | F.col("_k_index") | F.col("_k_rss") | F.col("_k_atom")
     )
-    anchors = (
-        extract_links(
-            pages.where(~is_sitemapish), url_col=url_col, html_col=body_col
+    empty = F.array().cast("array<string>")
+
+    def _family(cond, block_re, kind):
+        blocks = F.when(cond, F.regexp_extract_all(b, F.lit(block_re), F.lit(0))).otherwise(
+            empty
         )
-        .where(F.col("dst_url").isNotNull())
-        .select(F.col("dst_url").alias("url"), F.lit("anchor").alias("src"))
+        return F.transform(
+            blocks,
+            lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("raw")),
+        )
+
+    exploded = bound.select(
+        "_src_url",
+        F.explode(
+            F.concat(
+                _family(~is_sitemapish, S.ANCHOR_TAG_RE, "anchor"),
+                _family(F.col("_k_urlset"), S.SITEMAP_URL_BLOCK_RE, "loc"),
+                _family(F.col("_k_index"), S.SITEMAP_CHILD_BLOCK_RE, "child"),
+                _family(F.col("_k_rss"), S.RSS_ITEM_BLOCK_RE, "rss"),
+                # documented precedence: a body matching both kinds is RSS
+                _family(
+                    ~F.col("_k_rss") & F.col("_k_atom"), S.ATOM_ENTRY_BLOCK_RE, "atom"
+                ),
+            )
+        ).alias("_e"),
+    ).select("_src_url", F.col("_e.kind").alias("_kind"), F.col("_e.raw").alias("_raw"))
+    raw = F.col("_raw")
+    atom_link_tag = F.regexp_extract(raw, S.LINK_TAG_RE, 0)
+    cand = (
+        # per-kind candidate url — the exact expressions of the four
+        # standalone extractors (extract_links / sitemap_url_entries /
+        # sitemap_index_entries / feed_items)
+        F.when(
+            F.col("_kind") == "anchor",
+            resolve_href(F.col("_src_url"), F.regexp_extract(raw, S.HREF_ATTR_RE, 1)),
+        )
+        .when(F.col("_kind").isin("loc", "child"), abs_http_url(_child(raw, S.XML_LOC_RE)))
+        .when(F.col("_kind") == "rss", abs_http_url(_child(raw, S.RSS_LINK_RE)))
+        .otherwise(
+            abs_http_url(
+                F.nullif(
+                    xml_unescape(F.regexp_extract(atom_link_tag, S.HREF_ATTR_RE, 1)),
+                    F.lit(""),
+                )
+            )
+        )
     )
-    locs = (
-        sitemap_url_entries(pages, url_col=url_col, body_col=body_col)
-        .select(F.col("loc").alias("url"), F.lit("sitemap").alias("src"))
+    src = (
+        F.when(F.col("_kind") == "anchor", F.lit("anchor"))
+        .when(F.col("_kind").isin("loc", "child"), F.lit("sitemap"))
+        .otherwise(F.lit("feed"))
     )
-    children = (
-        sitemap_index_entries(pages, url_col=url_col, body_col=body_col)
-        .select(F.col("child_url").alias("url"), F.lit("sitemap").alias("src"))
+    refs = (
+        exploded.select(cand.alias("url"), src.alias("src"))
+        .where(F.col("url").isNotNull())
     )
-    items = (
-        feed_items(pages, url_col=url_col, body_col=body_col)
-        .select(F.col("item_url").alias("url"), F.lit("feed").alias("src"))
-    )
-    refs = anchors.unionByName(locs).unionByName(children).unionByName(items)
     merged = refs.groupBy("url").agg(
         F.sum((F.col("src") == "anchor").cast("bigint")).alias("from_anchors"),
         F.sum((F.col("src") == "sitemap").cast("bigint")).alias("from_sitemaps"),
