@@ -338,6 +338,14 @@ def connected_components(
     """
     max_iter = max(int(max_iter), 1)  # the for/else warning needs >= 1 round
     changed = -1  # unknown until the first convergence check
+    # materialize the caller's edge pipeline ONCE before fanning out: the
+    # symmetrizing union references it twice and the labels/sym cuts below
+    # are separate jobs, so an uncut (typically expensive — LSH blocking +
+    # Jaccard verify) edge plan was re-evaluated ~4x before the first
+    # round even ran (measured: CC over the same edges checkpointed 3.1 s
+    # vs 7.7 s lazy at sf1) — the q_pagerank/q_triangles edge-build
+    # discipline, applied at the operator boundary.
+    edges = cut_lineage(edges)
     sym = edges.select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
     ).unionByName(
