@@ -380,14 +380,22 @@ def winnow_near_duplicates(
     # filtered fp table
     fp = _maybe_persist(winnow_fingerprints(docs, key, text_col, k, w), True)
     if max_df is not None:
-        df_per_fp = fp.groupBy("fp").agg(F.count("*").alias("_df"))
-        # the FILTERED table feeds three branches (sizes + both join
-        # sides) — persist it too, or the df-count subplan replays per
-        # branch (measured 3x at sf0.01)
-        fp = _maybe_persist(
-            fp.join(df_per_fp.where(F.col("_df") <= max_df), "fp").drop("_df"),
+        # exclude via the HOT-fp complement (bounded: at most |fp|/max_df
+        # entries) with an anti-join per consuming branch: the filtered
+        # table used to be eagerly persisted so the df-count subplan
+        # would not replay per branch, but persisting the tiny hot list
+        # achieves the same single df evaluation while skipping a full
+        # cache materialization of the corpus-sized filtered table —
+        # each branch then reads the (already cached) raw fp table plus
+        # a small anti join.
+        hot = _maybe_persist(
+            fp.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("fp"),
             True,
         )
+        fp = fp.join(hot, "fp", "left_anti")
     sizes = fp.groupBy(key).agg(F.count("*").alias("sz"))
     a = fp.select(F.col(key).alias("id_a"), "fp")
     b = fp.select(F.col(key).alias("id_b"), "fp")
