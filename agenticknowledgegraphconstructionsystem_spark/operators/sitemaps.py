@@ -294,10 +294,39 @@ def discovered_urls(
         .when(F.col("_kind").isin("loc", "child"), F.lit("sitemap"))
         .otherwise(F.lit("feed"))
     )
-    refs = (
-        exploded.select(cand.alias("url"), src.alias("src"))
-        .where(F.col("url").isNotNull())
+    # keep-filter as the CHEAP nullness-equivalent of ``cand`` per kind
+    # (the cdx lesson: a filter on the derived column substitutes the
+    # whole candidate CASE into the post-Generate Filter, evaluating it
+    # twice per block row).  abs_http_url(c) is NULL iff lower(scheme(c))
+    # ∉ LINK_SCHEMES (NULL c → NULL scheme → dropped), and resolve_href
+    # is NULL iff its candidate is: an absolute href with a non-kept
+    # scheme, or a protocol/root-relative href on a schemeless source,
+    # or anything else — i.e. kept iff href's scheme ∈ schemes, or
+    # href starts with '/' (covers '//') on a scheme-bearing source.
+    href = F.regexp_extract(raw, S.HREF_ATTR_RE, 1)
+    hscheme = F.lower(url_parts(href)["scheme"])
+    src_scheme = url_parts(F.col("_src_url"))["scheme"]
+    anchor_keep = hscheme.isin(*S.LINK_SCHEMES) | (
+        href.startswith("/") & (src_scheme != "")
     )
+
+    def _scheme_keep(c):
+        return F.lower(url_parts(c)["scheme"]).isin(*S.LINK_SCHEMES)
+
+    keep = (
+        F.when(F.col("_kind") == "anchor", anchor_keep)
+        .when(F.col("_kind").isin("loc", "child"), _scheme_keep(_child(raw, S.XML_LOC_RE)))
+        .when(F.col("_kind") == "rss", _scheme_keep(_child(raw, S.RSS_LINK_RE)))
+        .otherwise(
+            _scheme_keep(
+                F.nullif(
+                    xml_unescape(F.regexp_extract(atom_link_tag, S.HREF_ATTR_RE, 1)),
+                    F.lit(""),
+                )
+            )
+        )
+    )
+    refs = exploded.where(keep).select(cand.alias("url"), src.alias("src"))
     merged = refs.groupBy("url").agg(
         F.sum((F.col("src") == "anchor").cast("bigint")).alias("from_anchors"),
         F.sum((F.col("src") == "sitemap").cast("bigint")).alias("from_sitemaps"),
