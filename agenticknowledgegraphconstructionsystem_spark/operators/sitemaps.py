@@ -73,6 +73,16 @@ def abs_http_url(cand: Column) -> Column:
     return F.when(scheme.isin(*S.LINK_SCHEMES), normalize_url(cand))
 
 
+def _abs_http_keep(cand: Column) -> Column:
+    """The CHEAP nullness equivalent of ``abs_http_url(cand) IS NOT
+    NULL`` — one scheme extraction instead of the full normalize chain
+    (NULL cand → NULL scheme → not kept; a kept scheme implies the
+    rebuilt URL is non-null, see the cdx scheme-equivalence note).
+    Used as the keep-filter so predicate pushdown substitutes THIS into
+    the post-Generate Filter, not the whole candidate expression."""
+    return F.lower(url_parts(cand)["scheme"]).isin(*S.LINK_SCHEMES)
+
+
 def _blocks(
     pages: DataFrame,
     kind_re: str,
@@ -105,15 +115,12 @@ def sitemap_url_entries(
         pages, S.SITEMAP_URLSET_KIND_RE, S.SITEMAP_URL_BLOCK_RE,
         url_col, body_col, "sitemap_url",
     )
-    return (
-        b.select(
-            "sitemap_url",
-            abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("loc"),
-            _child(F.col("_b"), S.XML_LASTMOD_RE).alias("lastmod"),
-            _child(F.col("_b"), S.XML_CHANGEFREQ_RE).alias("changefreq"),
-            _child(F.col("_b"), S.XML_PRIORITY_RE).alias("priority"),
-        )
-        .where(F.col("loc").isNotNull())
+    return b.where(_abs_http_keep(_child(F.col("_b"), S.XML_LOC_RE))).select(
+        "sitemap_url",
+        abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("loc"),
+        _child(F.col("_b"), S.XML_LASTMOD_RE).alias("lastmod"),
+        _child(F.col("_b"), S.XML_CHANGEFREQ_RE).alias("changefreq"),
+        _child(F.col("_b"), S.XML_PRIORITY_RE).alias("priority"),
     )
 
 
@@ -127,12 +134,9 @@ def sitemap_index_entries(
         pages, S.SITEMAP_INDEX_KIND_RE, S.SITEMAP_CHILD_BLOCK_RE,
         url_col, body_col, "sitemap_url",
     )
-    return (
-        b.select(
-            "sitemap_url",
-            abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("child_url"),
-        )
-        .where(F.col("child_url").isNotNull())
+    return b.where(_abs_http_keep(_child(F.col("_b"), S.XML_LOC_RE))).select(
+        "sitemap_url",
+        abs_http_url(_child(F.col("_b"), S.XML_LOC_RE)).alias("child_url"),
     )
 
 
@@ -152,7 +156,7 @@ def feed_items(
         pages, S.RSS_KIND_RE, S.RSS_ITEM_BLOCK_RE, url_col, body_col,
         "feed_url",
     )
-    rss = rss_b.select(
+    rss = rss_b.where(_abs_http_keep(_child(F.col("_b"), S.RSS_LINK_RE))).select(
         "feed_url",
         F.lit("rss").alias("kind"),
         abs_http_url(_child(F.col("_b"), S.RSS_LINK_RE)).alias("item_url"),
@@ -165,19 +169,19 @@ def feed_items(
         body_col, "feed_url",
     )
     link_tag = F.regexp_extract(F.col("_b"), S.LINK_TAG_RE, 0)
-    atom = atom_b.select(
+    atom_raw = F.nullif(
+        xml_unescape(F.regexp_extract(link_tag, S.HREF_ATTR_RE, 1)), F.lit("")
+    )
+    atom = atom_b.where(_abs_http_keep(atom_raw)).select(
         "feed_url",
         F.lit("atom").alias("kind"),
-        abs_http_url(
-            F.nullif(
-                xml_unescape(F.regexp_extract(link_tag, S.HREF_ATTR_RE, 1)),
-                F.lit(""),
-            )
-        ).alias("item_url"),
+        abs_http_url(atom_raw).alias("item_url"),
         _child(F.col("_b"), S.XML_TITLE_RE).alias("title"),
         _child(F.col("_b"), S.ATOM_UPDATED_RE).alias("published"),
     )
-    return rss.unionByName(atom).where(F.col("item_url").isNotNull())
+    # the per-branch keep-filters above make every unioned row's
+    # item_url non-null by construction — no post-union filter needed
+    return rss.unionByName(atom)
 
 
 def robots_sitemap_urls(robots: DataFrame) -> DataFrame:
@@ -201,9 +205,8 @@ def robots_sitemap_urls(robots: DataFrame) -> DataFrame:
         F.trim(F.regexp_extract("line", S.ROBOTS_VALUE_RE, 1)).alias("value"),
     )
     return (
-        parsed.where(F.col("field") == "sitemap")
+        parsed.where((F.col("field") == "sitemap") & _abs_http_keep(F.col("value")))
         .select("domain", abs_http_url(F.col("value")).alias("sitemap_url"))
-        .where(F.col("sitemap_url").isNotNull())
         .distinct()
     )
 
