@@ -106,9 +106,20 @@ def extract_links(
     href resolves; dropped forms are filtered out.  Still generate +
     projection only."""
     anchors = extract_anchors(pages, url_col=url_col, html_col=html_col)
-    return anchors.withColumn(
+    # keep-filter as the CHEAP nullness equivalent of resolve_href (the
+    # cdx/sitemaps lesson — a dst_url IS NOT NULL filter substitutes the
+    # whole resolve+normalize chain into the post-Generate Filter):
+    # resolve_href is non-NULL exactly for an absolute href whose scheme
+    # is kept, or a protocol/root-relative href ('//…' or '/…', both
+    # start with '/') on a scheme-bearing source page.
+    hscheme = F.lower(url_parts(F.col("href"))["scheme"])
+    keep = hscheme.isin(*S.LINK_SCHEMES) | (
+        F.col("href").startswith("/")
+        & (url_parts(F.col(url_col))["scheme"] != "")
+    )
+    return anchors.where(keep).withColumn(
         "dst_url", resolve_href(F.col(url_col), F.col("href"))
-    ).where(F.col("dst_url").isNotNull())
+    )
 
 
 def link_edges(
